@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local-mode settings mirror what we would submit on a real cluster
+(`spark-submit --py-files entity_linking_spark.zip ...`): AQE on with
+skew-join splitting (the reference has no hot-key handling at all —
+its ThreadPool chunks are uneven, see SURVEY.md §4), Arrow enabled for
+pandas UDF batch transfer, and shuffle partitions sized to the
+parallelism instead of the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+ARROW_MAX_RECORDS = 10_000
+
+
+def get_spark(
+    app_name: str = "entity-linking-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this pipeline.
+
+    ``cores`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) or all
+    local cores. On a real cluster the master/parallelism comes from
+    spark-submit and this function only applies the SQL-level confs.
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    shuffle_partitions = shuffle_partitions or max(DEFAULT_SHUFFLE_PARTITIONS, cores)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if "spark.master" not in os.environ.get("SPARK_CONF", ""):
+        builder = builder.master(f"local[{cores}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
