@@ -1,0 +1,90 @@
+"""MinHash-LSH primitives, numpy-vectorized over Arrow batches.
+
+Replaces the reference's FAISS ANN retrieval (entity_candidate/indexer/
+faiss_indexer.py:47-136) and Solr BM25 retrieval with a shuffle-friendly
+banding scheme: token k-shingles -> 64-permutation MinHash signature ->
+b bands of r rows -> equi-join on (band_idx, band_hash). Candidate pairs
+are then re-scored exactly (operators/scoring.py), mirroring the
+reference's retrieve-then-rerank lifecycle (SURVEY.md §3.1).
+
+All hashing is seed-pinned and process-independent (crc32-based, never
+Python ``hash``), so signatures are deterministic across executors —
+the FIXTURES.md determinism rule.
+
+Scale notes: the signature computation is a narrow map; the only shuffle
+is the band equi-join. Band hashes distribute uniformly, and hot bands
+(boilerplate-heavy shingle sets) are handled by the block-size cap in
+operators/blocking.py rather than by skewing the join.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+N_PERM = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_PERM // N_BANDS
+SHINGLE_K = 3
+_MERSENNE = (1 << 61) - 1
+_SEED = 42
+
+_rng = np.random.RandomState(_SEED)
+_A = _rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.uint64)
+_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.uint64)
+
+
+def shingle_hashes(tokens: list[str], k: int = SHINGLE_K) -> np.ndarray:
+    """Distinct k-shingle hashes of a token list (uint64)."""
+    if len(tokens) < k:
+        joined = [" ".join(tokens)] if tokens else []
+    else:
+        joined = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    hs = {zlib.crc32(s.encode("utf-8")) for s in joined}
+    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+
+
+def minhash_signature(tokens: list[str]) -> np.ndarray:
+    """64-perm MinHash signature: sig[i] = min((a_i*h + b_i) mod p)."""
+    hs = shingle_hashes(tokens)
+    if hs.size == 0:
+        return np.full(N_PERM, _MERSENNE, dtype=np.uint64)
+    # [n_perm, n_shingles] — vectorized permutation evaluation
+    vals = (_A[:, None] * hs[None, :] + _B[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+def band_hashes(sig: np.ndarray) -> list[int]:
+    """Fold the signature into N_BANDS band hashes (int64 for Spark)."""
+    out = []
+    for b in range(N_BANDS):
+        chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+        h = zlib.crc32(chunk.tobytes()) ^ (b << 32)
+        out.append(int(np.int64(np.uint64(h))))
+    return out
+
+
+@pandas_udf(ArrayType(LongType()))
+def minhash_bands_udf(tokens: pd.Series) -> pd.Series:
+    """tokens array -> N_BANDS LSH band hashes, Arrow-batched."""
+    return tokens.map(
+        lambda t: band_hashes(minhash_signature(list(t))) if t is not None else None
+    )
+
+
+@pandas_udf(ArrayType(LongType()))
+def minhash_signature_udf(tokens: pd.Series) -> pd.Series:
+    """Full 64-perm signature (for exact MinHash-Jaccard estimation)."""
+    return tokens.map(
+        lambda t: [int(np.int64(x)) for x in minhash_signature(list(t))]
+        if t is not None
+        else None
+    )
+
+
+def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))

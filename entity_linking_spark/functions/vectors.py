@@ -1,0 +1,71 @@
+"""Vector ops: deterministic hash-embeddings + cosine, Arrow-vectorized.
+
+The reference encodes contexts/candidates with a BERT bi-encoder into
+768-dim float tensors and scores with inner product
+(entity_candidate/biencoder/biencoder_.py:128-167). At test scale we
+substitute a deterministic feature-hashing embedding with the same API
+(SURVEY.md §2.10): same dimensionality contract, L2-normalized, so cosine
+scoring code paths are identical and fixtures need no model weights. On a
+real cluster the embed UDF body would be a batched model forward
+(predict_batch_udf-style); everything downstream is unchanged.
+
+No per-row Python in hot paths: embeddings for an Arrow batch are built
+into one [batch, dim] numpy matrix; pair cosine is a single einsum.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, FloatType
+
+EMBED_DIM = 64
+
+
+def hash_embed_matrix(token_lists: list[list[str]], dim: int = EMBED_DIM) -> np.ndarray:
+    """Feature-hash token lists into L2-normalized [n, dim] float32."""
+    out = np.zeros((len(token_lists), dim), dtype=np.float32)
+    for i, toks in enumerate(token_lists):
+        if not toks:
+            continue
+        idx = np.fromiter(
+            (zlib.crc32(t.encode("utf-8")) for t in toks), dtype=np.int64, count=len(toks)
+        )
+        sign = np.where((idx >> 31) & 1, -1.0, 1.0).astype(np.float32)
+        np.add.at(out[i], idx % dim, sign)
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return out / norms
+
+
+@pandas_udf(ArrayType(FloatType()))
+def hash_embed_udf(tokens: pd.Series) -> pd.Series:
+    mat = hash_embed_matrix([list(t) if t is not None else [] for t in tokens])
+    return pd.Series(list(mat))
+
+
+@pandas_udf(DoubleType())
+def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Row-wise cosine of two array<float> columns (one matmul per batch)."""
+    am = np.array([x if x is not None else [] for x in a], dtype=object)
+    n = len(a)
+    out = np.zeros(n)
+    # stack ragged-safe: all vecs same dim in practice
+    try:
+        ma = np.stack([np.asarray(x, dtype=np.float32) for x in a])
+        mb = np.stack([np.asarray(x, dtype=np.float32) for x in b])
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        denom = na * nb
+        denom[denom == 0] = 1.0
+        out = np.einsum("ij,ij->i", ma, mb) / denom
+    except (ValueError, TypeError):
+        for i in range(n):
+            va = np.asarray(a.iloc[i] or [], dtype=np.float32)
+            vb = np.asarray(b.iloc[i] or [], dtype=np.float32)
+            d = np.linalg.norm(va) * np.linalg.norm(vb)
+            out[i] = float(va @ vb / d) if d else 0.0
+    return pd.Series(out)

@@ -1,0 +1,149 @@
+"""Pairwise scoring: batched similarity over candidate pairs.
+
+The reference scores each (mention, candidate) with a BERT pair
+classifier and sorts by probability (entity_sort/service_main.py:145-172,
+el_models.py:52-95). Our batch equivalent scores each candidate *page*
+pair with a fused similarity — entity-evidence overlap + embedding
+cosine + mention string similarity — computed entirely JVM-side or in
+Arrow-batched pandas UDFs:
+
+  ent_score   strongest shared entity evidence: for each doc, each
+              candidate entity is supported with weight 1/n_ids (alias
+              ambiguity prior, analog of the reference's entity_to_ids
+              fan-out + rank); pair score = max over shared entities of
+              min(support_a, support_b).
+  cos_score   cosine of deterministic hash-embeddings of the full text
+              (bi-encoder stand-in, SURVEY §2.10) — catches near-dup
+              pages whose alias evidence was mangled.
+  name_score  max Jaro-Winkler over the docs' mention strings.
+
+  fused = max(ent_score, cos when cos >= dup_threshold, ...) — see
+  ``score_pairs``. A pair is an edge when fused >= threshold.
+
+Shuffle inventory: two hash joins (pair -> per-doc features) on url —
+both shuffle on the pair key, which is uniform by construction. Feature
+tables are small projections (url, entity supports / embedding) so the
+join input is pruned to exactly the needed columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from entity_linking_spark.functions.strings import jaro_winkler_udf
+from entity_linking_spark.functions.vectors import cosine_udf, hash_embed_udf
+
+MATCH_THRESHOLD = 0.75
+DUP_COSINE_THRESHOLD = 0.92
+STRONG_SUPPORT = 0.9  # support 1/n_ids above this = unambiguous alias
+# The threshold sits ABOVE the maximum blend score reachable from
+# ambiguous-alias evidence alone (support 1/2 -> 0.55*0.5 + 0.25 + 0.20
+# ceiling ≈ 0.72): two pages sharing only a collision alias (e.g. the
+# reference's one-alias-many-ids entity_to_ids rows) must not link, no
+# matter how similar their top mentions look — blocking already
+# guarantees shared keys, so name similarity is not independent evidence.
+
+
+def entity_support(candidates: DataFrame) -> DataFrame:
+    """Per (url, subject_id): support = max over its aliases of 1/n_ids."""
+    return candidates.groupBy("url", "subject_id").agg(
+        F.max(1.0 / F.col("n_ids")).alias("support")
+    )
+
+
+def doc_features(
+    docs_tokens: DataFrame, candidates: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(supports, embeddings, top mention) per url — pruned feature tables."""
+    supports = entity_support(candidates)
+    embeddings = docs_tokens.select(
+        "url", hash_embed_udf(F.col("tokens")).alias("vec")
+    )
+    # representative mention: longest mention per doc (longest-alias-wins,
+    # reference el_process.py:65 ordering)
+    w = Window.partitionBy("url").orderBy(
+        F.length("mention").desc(), F.col("mention")
+    )
+    top_mention = (
+        candidates.select("url", "mention")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("url", "mention")
+    )
+    return supports, embeddings, top_mention
+
+
+def score_pairs(
+    pairs: DataFrame,
+    supports: DataFrame,
+    embeddings: DataFrame,
+    top_mention: DataFrame,
+) -> DataFrame:
+    """Fused pair scores: (url_a, url_b, ent_score, cos_score, name_score,
+    score)."""
+    sa = supports.select(
+        F.col("url").alias("url_a"),
+        F.col("subject_id"),
+        F.col("support").alias("support_a"),
+    )
+    sb = supports.select(
+        F.col("url").alias("url_b"),
+        F.col("subject_id"),
+        F.col("support").alias("support_b"),
+    )
+    # shared-entity evidence: join pair->A-supports->B-supports on entity
+    ent = (
+        pairs.join(sa, "url_a")
+        .join(sb, ["url_b", "subject_id"])
+        .groupBy("url_a", "url_b")
+        .agg(F.max(F.least("support_a", "support_b")).alias("ent_score"))
+    )
+    ea = embeddings.select(F.col("url").alias("url_a"), F.col("vec").alias("vec_a"))
+    eb = embeddings.select(F.col("url").alias("url_b"), F.col("vec").alias("vec_b"))
+    ma = top_mention.select(F.col("url").alias("url_a"), F.col("mention").alias("m_a"))
+    mb = top_mention.select(F.col("url").alias("url_b"), F.col("mention").alias("m_b"))
+
+    feat = (
+        pairs.join(ent, ["url_a", "url_b"], "left")
+        .join(ea, "url_a", "left")
+        .join(eb, "url_b", "left")
+        .join(ma, "url_a", "left")
+        .join(mb, "url_b", "left")
+        .withColumn("ent_score", F.coalesce("ent_score", F.lit(0.0)))
+        .withColumn(
+            "cos_score",
+            F.when(
+                F.col("vec_a").isNotNull() & F.col("vec_b").isNotNull(),
+                cosine_udf("vec_a", "vec_b"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "name_score",
+            F.when(
+                F.col("m_a").isNotNull() & F.col("m_b").isNotNull(),
+                jaro_winkler_udf("m_a", "m_b"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    # fusion: unambiguous shared entity is decisive; near-identical text
+    # (near-dup page) is decisive; otherwise a weighted blend.
+    fused = F.greatest(
+        F.when(F.col("ent_score") >= F.lit(STRONG_SUPPORT), F.col("ent_score")).otherwise(
+            F.lit(0.0)
+        ),
+        F.when(
+            F.col("cos_score") >= F.lit(DUP_COSINE_THRESHOLD), F.col("cos_score")
+        ).otherwise(F.lit(0.0)),
+        F.col("ent_score") * 0.55 + F.col("cos_score") * 0.25 + F.col("name_score") * 0.20,
+    )
+    return feat.select(
+        "url_a", "url_b", "ent_score", "cos_score", "name_score", fused.alias("score")
+    )
+
+
+def match_edges(scored: DataFrame, threshold: float = MATCH_THRESHOLD) -> DataFrame:
+    """Edges of the linkage graph (reference analog: candidates whose
+    pair-classifier prob clears the decision, service_main.py:170-172)."""
+    return scored.where(F.col("score") >= threshold).select("url_a", "url_b")

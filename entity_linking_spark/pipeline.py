@@ -1,0 +1,120 @@
+"""End-to-end record-linkage pipeline: extract -> block -> score -> cluster.
+
+Orchestrates the stage graph with resume-from-checkpoint (sources/io.py).
+Stage inventory and their shuffle profile:
+
+  extract   narrow map (mapInPandas over html)          no shuffle
+  mentions  narrow dictionary UDTF                       no shuffle
+  blocking  key explode + stop-key cap                   1 shuffle (groupBy key)
+  pairs     within-block self-join + distinct            1-2 shuffles
+  scoring   3 hash joins pair->features                  shuffles on url (uniform)
+  cluster   large-star/small-star to fixpoint            2 shuffles/round, O(log n) rounds
+
+Run as a job:  python -m entity_linking_spark.pipeline --workdir /tmp/el \
+               [--n-docs 2000] [--force]
+(spark-submit --py-files form on a real cluster; entry is main()).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from entity_linking_spark import schema as S
+from entity_linking_spark.functions.normalize import tokenize_udf
+from entity_linking_spark.metrics import pairwise_prf
+from entity_linking_spark.operators import blocking, cluster, extract, scoring
+from entity_linking_spark.session import get_spark
+from entity_linking_spark.sources import io
+
+
+def run_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    aliases: DataFrame,
+    workdir: str,
+    force: bool = False,
+    max_block_size: int = blocking.MAX_BLOCK_SIZE,
+    threshold: float = scoring.MATCH_THRESHOLD,
+) -> DataFrame:
+    """Full linkage run; returns (url, cluster_id). Checkpoints each stage."""
+
+    def _extract() -> DataFrame:
+        out = extract.with_extracted_text(documents)
+        return out.select(
+            "url",
+            "warc_ts",
+            F.col("text_extracted").alias("text"),
+            "lang",
+            tokenize_udf(F.col("text_extracted")).alias("tokens"),
+        )
+
+    docs = io.run_stage(spark, workdir, "s1_extract", _extract, force)
+
+    alias_list = [r["alias"] for r in aliases.select("alias").distinct().collect()]
+
+    def _mentions() -> DataFrame:
+        return blocking.detect_mentions(docs, alias_list)
+
+    mentions = io.run_stage(spark, workdir, "s2_mentions", _mentions, force)
+
+    def _candidates() -> DataFrame:
+        return blocking.candidate_entities(mentions, aliases)
+
+    candidates = io.run_stage(spark, workdir, "s3_candidates", _candidates, force)
+
+    def _pairs() -> DataFrame:
+        keys = blocking.blocking_keys(docs, candidates)
+        return blocking.candidate_pairs(keys, max_block_size)
+
+    pairs = io.run_stage(spark, workdir, "s4_pairs", _pairs, force)
+
+    def _scores() -> DataFrame:
+        supports, embeddings, top_mention = scoring.doc_features(docs, candidates)
+        return scoring.score_pairs(pairs, supports, embeddings, top_mention)
+
+    scores = io.run_stage(spark, workdir, "s5_scores", _scores, force)
+
+    def _clusters() -> DataFrame:
+        edges = scoring.match_edges(scores, threshold)
+        return cluster.connected_components(edges, docs.select("url"))
+
+    return io.run_stage(spark, workdir, "s6_clusters", _clusters, force)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--n-docs", type=int, default=2000)
+    ap.add_argument("--n-entities", type=int, default=300)
+    ap.add_argument("--force", action="store_true")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    spark = get_spark("el-pipeline", cores=args.cores)
+    fx = S.load_fixtures(spark, n_docs=args.n_docs, n_entities=args.n_entities)
+    t0 = time.time()
+    clusters = run_pipeline(
+        spark, fx["documents"], fx["aliases"], args.workdir, force=args.force
+    )
+    n_docs = clusters.count()
+    elapsed = time.time() - t0
+    prf = pairwise_prf(clusters, fx["labeled_pairs"])
+    print(
+        json.dumps(
+            {
+                "docs": n_docs,
+                "seconds": round(elapsed, 2),
+                "docs_per_sec": round(n_docs / elapsed, 1),
+                **{k: round(v, 4) if isinstance(v, float) else v for k, v in prf.items()},
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

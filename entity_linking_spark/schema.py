@@ -182,6 +182,14 @@ def synth_documents(
     """
     rng = random.Random(seed + 1)
     kb = synth_kb(n_entities, seed)
+    # alias ambiguity across the KB: an alias is "unique" if exactly one
+    # entity carries it — each entity doc embeds >=1 unique alias so the
+    # linkage is information-theoretically solvable (reference analog:
+    # every ccks mention has a gold kb_id).
+    alias_count: dict[str, int] = {}
+    for alist in kb["alias"]:
+        for a in alist:
+            alias_count[a] = alias_count.get(a, 0) + 1
     hosts = [f"site{h:02d}.example.org" for h in range(50)]
     t0 = datetime(2025, 1, 1, tzinfo=timezone.utc)
     rows = []
@@ -195,14 +203,11 @@ def synth_documents(
         ent = kb.iloc[rng.randrange(n_entities)] if has_entity else None
         words = [rng.choice(_FILLER) for _ in range(rng.randrange(30, 80))]
         if ent is not None:
-            discriminative = [
-                a for a in ent["alias"] if a != HOT_ALIAS
-            ]
-            picks = rng.sample(
-                discriminative, k=min(len(discriminative), rng.randrange(1, 3))
-            )
-            if HOT_ALIAS in list(ent["alias"]) and rng.random() < 0.5:
-                picks.append(HOT_ALIAS)
+            unique = [a for a in ent["alias"] if alias_count[a] == 1]
+            ambiguous = [a for a in ent["alias"] if alias_count[a] > 1]
+            picks = rng.sample(unique, k=min(len(unique), rng.randrange(1, 3)))
+            if ambiguous and rng.random() < 0.5:
+                picks.append(rng.choice(ambiguous))
             for p in picks:
                 pos = rng.randrange(len(words))
                 words.insert(pos, p)
@@ -210,7 +215,13 @@ def synth_documents(
             words.extend(rng.choice(_ZH_FILLER) for _ in range(10))
         text = " ".join(words)
         if rng.random() < 0.1:
-            text = text[: len(text) // 2] + "\n" + text[len(text) // 2 :]
+            # line break lands between words (never mid-token): a newline
+            # is whitespace-equivalent under the frozen normalizer, so
+            # multi-word aliases survive it — mid-word breaks would not.
+            spaces = [i for i, ch in enumerate(text) if ch == " "]
+            if spaces:
+                cut = spaces[len(spaces) // 2]
+                text = text[:cut] + "\n" + text[cut + 1 :]
         rows.append(
             {
                 "url": url,
@@ -221,6 +232,29 @@ def synth_documents(
             }
         )
         truth.append((url, ent["subject_id"] if ent is not None else None))
+    # ~3% near-duplicate pages of entity docs (same entity => same truth
+    # cluster) to exercise the MinHash-LSH blocking path and dedup ops.
+    n_dups = n_docs // 33
+    ent_idx = [i for i, (_, e) in enumerate(truth) if e is not None]
+    for k in range(n_dups):
+        src = rows[rng.choice(ent_idx)]
+        src_ent = dict(truth)[src["url"]]
+        words = src["text"].split(" ")
+        for _ in range(max(1, len(words) // 50)):  # ~2% token perturbation
+            words[rng.randrange(len(words))] = rng.choice(_FILLER)
+        text = " ".join(words)
+        host = hosts[rng.randrange(50)]
+        url = f"https://{host}/copy/{k:06d}"
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": t0 + timedelta(seconds=(n_docs + k) * 17),
+                "html": make_html(text, url),
+                "text": text,
+                "lang": src["lang"],
+            }
+        )
+        truth.append((url, src_ent))
     df = pd.DataFrame(rows)
     df.attrs["truth"] = truth
     return df

@@ -1,0 +1,76 @@
+"""Checkpointed stage IO: resume-from-checkpoint with lineage metrics.
+
+The reference pickles every stage's output and skips recompute when the
+file exists (process_wiki_extractor_output.py:33-35, enrich_data.py:27-29
+— SURVEY §2.1 S7). Here each stage writes a Parquet snapshot (Iceberg
+table on a real cluster — same writeTo API shape) plus a _STAGE.json
+sidecar carrying row counts and per-partition lineage, and a rerun skips
+any stage whose snapshot is complete. Kill-and-rerun therefore resumes
+mid-pipeline — the north-rule resumability requirement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_META = "_STAGE.json"
+
+
+def stage_path(root: str, name: str) -> str:
+    return os.path.join(root, name)
+
+
+def stage_complete(root: str, name: str) -> bool:
+    return os.path.exists(os.path.join(stage_path(root, name), _META))
+
+
+def write_stage(df: DataFrame, root: str, name: str, partition_by: list[str] | None = None) -> dict:
+    """Materialize a stage snapshot + lineage metrics sidecar."""
+    path = stage_path(root, name)
+    t0 = time.time()
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    per_partition = (
+        written.groupBy(F.spark_partition_id().alias("partition"))
+        .count()
+        .collect()
+    )
+    meta = {
+        "stage": name,
+        "rows": written.count(),
+        "seconds": round(time.time() - t0, 3),
+        "partitions": {str(r["partition"]): r["count"] for r in per_partition},
+        "schema": written.schema.simpleString(),
+    }
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
+def read_stage(spark: SparkSession, root: str, name: str) -> DataFrame:
+    return spark.read.parquet(stage_path(root, name))
+
+
+def run_stage(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    build: Callable[[], DataFrame],
+    force: bool = False,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Skip-if-exists stage runner (the resume-from-checkpoint primitive)."""
+    if not force and stage_complete(root, name):
+        return read_stage(spark, root, name)
+    df = build()
+    write_stage(df, root, name, partition_by)
+    return read_stage(spark, root, name)

@@ -1,0 +1,67 @@
+"""Unit tests for similarity functions: minhash, vectors, strings."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from entity_linking_spark.functions.minhash import (
+    band_hashes,
+    est_jaccard,
+    minhash_signature,
+)
+from entity_linking_spark.functions.strings import (
+    jaro,
+    jaro_winkler,
+    levenshtein,
+    levenshtein_sim,
+)
+from entity_linking_spark.functions.vectors import hash_embed_matrix
+
+
+def test_minhash_deterministic():
+    toks = "a b c d e f g".split()
+    assert list(minhash_signature(toks)) == list(minhash_signature(toks))
+    assert band_hashes(minhash_signature(toks)) == band_hashes(minhash_signature(toks))
+
+
+def test_minhash_estimates_jaccard():
+    a = [f"w{i}" for i in range(100)]
+    b = [f"w{i}" for i in range(50, 150)]  # true 3-shingle overlap ~ 1/3
+    est = est_jaccard(minhash_signature(a), minhash_signature(b))
+    assert 0.15 <= est <= 0.55
+
+
+def test_minhash_identical_and_disjoint():
+    a = "x y z w v u t s".split()
+    assert est_jaccard(minhash_signature(a), minhash_signature(a)) == 1.0
+    b = "p q r m n o k l".split()
+    assert est_jaccard(minhash_signature(a), minhash_signature(b)) < 0.2
+
+
+def test_levenshtein():
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("abc", "abc") == 0
+    assert levenshtein_sim("abc", "abc") == 1.0
+    assert levenshtein_sim("", "") == 1.0
+
+
+def test_jaro_winkler_known_values():
+    # public reference values
+    assert abs(jaro("martha", "marhta") - 0.9444) < 1e-3
+    assert abs(jaro_winkler("martha", "marhta") - 0.9611) < 1e-3
+    assert jaro_winkler("abc", "abc") == 1.0
+    assert jaro_winkler("", "abc") == 0.0
+    assert jaro("abc", "xyz") == 0.0
+
+
+def test_hash_embed_normalized_and_deterministic():
+    m = hash_embed_matrix([["a", "b", "c"], ["a", "b", "c"], []])
+    assert np.allclose(np.linalg.norm(m[0]), 1.0)
+    assert np.allclose(m[0], m[1])
+    assert np.allclose(m[2], 0.0)
+    # similar token lists -> higher cosine than dissimilar
+    m2 = hash_embed_matrix([["a", "b", "c", "d"], ["x", "y", "z", "w"]])
+    cos_sim = float(m[0] @ m2[0])
+    cos_dis = float(m[0] @ m2[1])
+    assert cos_sim > cos_dis

@@ -1,0 +1,65 @@
+"""End-to-end pipeline: F1 acceptance + resume-from-checkpoint."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from entity_linking_spark import schema as S
+from entity_linking_spark.metrics import pairwise_prf
+from entity_linking_spark.pipeline import run_pipeline
+from entity_linking_spark.sources import io
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    return S.load_fixtures(spark, n_docs=600, n_entities=120)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("el_e2e"))
+
+
+def test_end_to_end_f1(spark, fixtures, workdir):
+    clusters = run_pipeline(
+        spark, fixtures["documents"], fixtures["aliases"], workdir
+    )
+    prf = pairwise_prf(clusters, fixtures["labeled_pairs"])
+    assert prf["f1"] >= 0.99, prf  # BASELINE.json acceptance metric
+    assert prf["precision"] >= 0.99, prf
+    assert prf["recall"] >= 0.99, prf
+
+
+def test_stage_metadata_lineage(workdir):
+    meta = json.load(open(os.path.join(workdir, "s1_extract", "_STAGE.json")))
+    assert meta["rows"] > 0
+    assert meta["partitions"]  # per-partition lineage recorded
+    assert "url" in meta["schema"]
+
+
+def test_resume_from_checkpoint(spark, fixtures, workdir):
+    """Kill-and-rerun: wipe downstream stages, rerun, identical output."""
+    before = {
+        (r["url"], r["cluster_id"])
+        for r in io.read_stage(spark, workdir, "s6_clusters").collect()
+    }
+    # simulate mid-pipeline death: stages 4..6 lost, 1..3 intact
+    for stage in ("s4_pairs", "s5_scores", "s6_clusters"):
+        shutil.rmtree(os.path.join(workdir, stage))
+    clusters = run_pipeline(
+        spark, fixtures["documents"], fixtures["aliases"], workdir
+    )
+    after = {(r["url"], r["cluster_id"]) for r in clusters.collect()}
+    assert before == after
+
+
+def test_expected_clusters_match(spark, fixtures, workdir):
+    """Predicted clustering equals the golden truth clustering exactly."""
+    clusters = io.read_stage(spark, workdir, "s6_clusters")
+    expected = fixtures["expected_clusters"]
+    diff = clusters.exceptAll(expected).count() + expected.exceptAll(clusters).count()
+    assert diff == 0
