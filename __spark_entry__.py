@@ -58,11 +58,198 @@ def entry(spark: SparkSession) -> DataFrame:
     return _doc_clusters(spark, SF0001)
 
 
+def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_linking_spark.functions.normalize import tokenize_udf
+
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("url"), "text")
+        .withColumn("tokens", tokenize_udf(F.col("text")))
+    )
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_linking_spark.operators import dedup
+
+    return dedup.simhash_near_dup_pairs(_docs_tokens(spark, sf_dir), max_hamming=8)
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_linking_spark.operators import dedup
+
+    return dedup.minhash_near_dup_pairs(_docs_tokens(spark, sf_dir), min_jaccard=0.6)
+
+
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_linking_spark.operators import ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.lsh_topk(emb, queries_df, k=5)
+
+
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_linking_spark.operators import ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.ivf_topk(emb, queries_df, k=5)
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Row
+
+    from entity_linking_spark.operators import multimodal as mm
+
+    rows = [
+        Row(
+            media_id=f"m{i}",
+            kind="image" if i % 2 else "audio",
+            payload=mm.encode_fake_media("image" if i % 2 else "audio", 32 + i, 32, i),
+        )
+        for i in range(20)
+    ]
+    return mm.with_media_features(spark.createDataFrame(rows)).select(
+        "media_id", "kind", "features", "decode_error"
+    )
+
+
+def _rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_linking_spark.functions.text import rolling_hash_udf
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", rolling_hash_udf(F.col("text")).alias("rh")).orderBy(
+        "doc_id"
+    )
+
+
+def _f6_kb_description(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: KB description synthesis — concat predicate:object with 。
+    suffix rule (reference eval_biencoder_.py:45-57, el_preprocess.py:
+    124-164) as a higher-order aggregate over the struct array."""
+    from entity_linking_spark import schema as S
+
+    kb = spark.createDataFrame(S.synth_kb(100), schema=S.KB_SCHEMA)
+    desc = F.aggregate(
+        F.col("data"),
+        F.lit(""),
+        lambda acc, kg: F.concat(
+            acc,
+            kg["predicate"],
+            F.lit(":"),
+            kg["object"],
+            F.when(kg["object"].endswith("。"), F.lit("")).otherwise(F.lit("。")),
+        ),
+    )
+    fallback = F.concat(F.lit("摘要，"), F.col("subject"), F.lit("无描述信息。"))
+    return kb.select(
+        "subject_id",
+        F.when(F.size("data") > 0, desc).otherwise(fallback).alias("description"),
+    ).orderBy("subject_id")
+
+
+def _r1_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: seeded negative sampling — per gold (mention,entity) pick 2
+    non-gold candidates by deterministic hash order (reference
+    el_preprocess.py:104-121 random.sample with seed=123 -> engine-neutral
+    md5 ordering + row_number window)."""
+    from pyspark.sql.window import Window
+
+    from entity_linking_spark import schema as S
+
+    kb = spark.createDataFrame(S.synth_kb(100), schema=S.KB_SCHEMA)
+    golds = kb.select(F.col("subject_id").alias("gold_id")).limit(30)
+    cands = kb.select(F.col("subject_id").alias("cand_id"))
+    w = Window.partitionBy("gold_id").orderBy(
+        F.md5(F.concat("gold_id", F.lit("|"), "cand_id")), "cand_id"
+    )
+    return (
+        golds.crossJoin(cands)
+        .where(F.col("cand_id") != F.col("gold_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("gold_id", "cand_id", "rn")
+        .orderBy("gold_id", "rn")
+    )
+
+
+def _j11_coref_containment_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: coref self-join — short mention contained (word-boundary) in a
+    longer mention of the same doc (reference dataset.py:153-187). Non-equi
+    predicate inside an equi join on the doc key."""
+    from entity_linking_spark import schema as S
+    from entity_linking_spark.operators import blocking
+
+    docs_pd = S.synth_documents(n_docs=300, n_entities=60)
+    docs = spark.createDataFrame(docs_pd, schema=S.DOCUMENTS_SCHEMA)
+    kb = S.synth_kb(60)
+    alias_list = [a for al in kb["alias"] for a in al]
+    m = blocking.detect_mentions(docs, alias_list)
+    a = m.select(F.col("url"), F.col("mention").alias("short_m"))
+    b = m.select(F.col("url"), F.col("mention").alias("long_m"))
+    return (
+        a.join(b, "url")
+        .where(
+            (F.length("long_m") > F.length("short_m"))
+            & (
+                F.instr(
+                    F.concat(F.lit(" "), F.col("long_m"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("short_m"), F.lit(" ")),
+                )
+                > 0
+            )
+        )
+        .select("url", "short_m", "long_m")
+        .distinct()
+        .orderBy("url", "short_m", "long_m")
+    )
+
+
+def _j9_hard_negative_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: hard-negative lookup — for each vector, its most-similar OTHER
+    vector's payload (reference biencoder/data_process_.py:168-196 uses
+    id_sim to fetch the nearest non-gold entity's description)."""
+    from entity_linking_spark.operators import ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = ann.brute_force_topk(emb, queries_df, k=2).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.substring("text", 1, 60).alias("negative_desc"),
+    )
+    return (
+        top.join(docs, "neighbor_id", "left")
+        .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"),
+                "negative_desc")
+        .orderBy("query_id", "neighbor_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2, plus the
+    training-data operators (dedup / ANN / multimodal / fingerprints)."""
     out = Q.all_queries()
+    out["f6_kb_description"] = _f6_kb_description
+    out["r1_negative_sampling"] = _r1_negative_sampling
+    out["j11_coref_containment_selfjoin"] = _j11_coref_containment_selfjoin
+    out["j9_hard_negative_join"] = _j9_hard_negative_join
     # non-SQL-expressible: rows-only checks (custom vectorized operators)
     out["minhash_near_dup_clusters"] = _doc_clusters
+    out["dedup_simhash_pairs"] = _dedup_simhash
+    out["dedup_minhash_pairs"] = _dedup_minhash
+    out["ann_lsh_topk"] = _ann_lsh
+    out["ann_ivf_topk"] = _ann_ivf
+    out["multimodal_decode_features"] = _multimodal_features
+    out["rolling_fingerprint"] = _rolling_fingerprint
     return out
 
 

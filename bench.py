@@ -1,0 +1,105 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {name: sec}, "sf"}.
+
+Headline set = the operators that dominate a real 100 TB run: the
+MinHash near-dup flagship, the end-to-end EL linkage pipeline on a
+synthesized web corpus, and the heaviest scan/join/agg/window oracle
+queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as entry_mod
+    from entity_linking_spark import schema as S
+    from entity_linking_spark.pipeline import run_pipeline
+    from entity_linking_spark.plans import queries as Q
+    from entity_linking_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cores)
+
+    headline = [
+        "q1_pricing_summary",
+        "j8_link_count_join",
+        "w1_topk_per_group",
+        "a4_collect_ids_per_key",
+        "stream_windowed_counts",
+        "dedup_exact_keep_first",
+        "doc_fingerprint",
+        "ann_cosine_topk",
+        "ngram_jaccard_similarity",
+    ]
+    all_q = Q.all_queries()
+    times: dict[str, float] = {}
+
+    # warm the JVM/scan path once (untimed) so per-query numbers measure
+    # the plan, not first-touch classloading
+    all_q["q1_pricing_summary"](spark, sf_dir).count()
+
+    for name in headline:
+        t0 = time.time()
+        df = all_q[name](spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        assert n >= 0
+
+    # flagship: minhash near-dup clustering of the documents corpus
+    t0 = time.time()
+    entry_mod._doc_clusters(spark, sf_dir).count()
+    times["minhash_near_dup_clusters"] = round(time.time() - t0, 3)
+
+    # end-to-end EL pipeline on a synthesized web corpus (fixture written
+    # to parquet untimed; the timed portion is the pipeline itself)
+    n_docs = 3000
+    workdir = "/tmp/el_bench_work"
+    shutil.rmtree(workdir, ignore_errors=True)
+    fx = S.load_fixtures(spark, n_docs=n_docs, n_entities=400)
+    docs_path = os.path.join(workdir, "input_docs")
+    aliases_path = os.path.join(workdir, "input_aliases")
+    fx["documents"].write.mode("overwrite").parquet(docs_path)
+    fx["aliases"].write.mode("overwrite").parquet(aliases_path)
+    documents = spark.read.parquet(docs_path)
+    aliases = spark.read.parquet(aliases_path)
+
+    t0 = time.time()
+    clusters = run_pipeline(spark, documents, aliases, os.path.join(workdir, "stages"))
+    n_out = clusters.count()
+    el_sec = time.time() - t0
+    times["el_pipeline_e2e"] = round(el_sec, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "el_docs": n_out,
+                "el_docs_per_sec": round(n_out / el_sec, 1),
+                "cores": cores,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

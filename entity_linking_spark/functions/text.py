@@ -1,0 +1,95 @@
+"""Text-analysis functions for corpus curation (training-data ops).
+
+All JVM-side Column expressions (whole-stage codegen) except the rolling
+fingerprint, which is a vectorized pandas UDF. These complement the
+SQL-expressible versions in plans/queries.py with reusable Column
+builders for pipelines.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+from pyspark.sql import Column, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+STOPWORDS_EN = (
+    "the a an and or of to in on at is are was were be been with for as by "
+    "it its this that these those from"
+).split()
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (A11)."""
+    return F.size(F.split(text, r"\s+"))
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish pre-tokenizer count: alnum runs + standalone punct."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[a-zA-Z0-9]+|[^\sa-zA-Z0-9]"), 0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = F.split(F.lower(text), r"\s+")
+    stops = F.filter(toks, lambda t: t.isin(*STOPWORDS_EN))
+    return F.size(stops).cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text: Column) -> Column:
+    punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    return punct.cast("double") / F.greatest(F.length(text), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Fused heuristic in [0,1]: penalize extreme length, punct soup,
+    stopword-free word salad (quality gates for corpus filtering)."""
+    toks = F.size(F.split(text, r"\s+"))
+    len_ok = F.when((toks >= 10) & (toks <= 10000), 1.0).otherwise(0.3)
+    punct_ok = F.when(punct_ratio(text) < 0.2, 1.0).otherwise(0.5)
+    stop_ok = F.when(stopword_ratio(text) > 0.01, 1.0).otherwise(0.6)
+    return F.round(len_ok * punct_ok * stop_ok, 4)
+
+
+def lang_guess(text: Column) -> Column:
+    """Script-ratio language family guess (CJK vs Latin vs other)."""
+    cjk = F.size(F.regexp_extract_all(text, F.lit(r"[一-鿿]"), 0))
+    latin = F.size(F.regexp_extract_all(text, F.lit(r"[a-zA-Z]"), 0))
+    return (
+        F.when(cjk * 2 > latin, F.lit("cjk"))
+        .when(latin > 0, F.lit("latin"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Order-insensitive content signature: md5 of sorted distinct tokens."""
+    return F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.lower(text), r"\s+"))))
+    )
+
+
+_WINDOW = 8
+
+
+@pandas_udf(LongType())
+def rolling_hash_udf(text: pd.Series) -> pd.Series:
+    """Rolling-hash document fingerprint: min crc32 over all W-token
+    windows (winnowing-style; robust to local edits)."""
+
+    def fp(t: str | None) -> int | None:
+        if t is None:
+            return None
+        toks = t.lower().split()
+        if not toks:
+            return 0
+        if len(toks) <= _WINDOW:
+            return zlib.crc32(" ".join(toks).encode())
+        best = min(
+            zlib.crc32(" ".join(toks[i : i + _WINDOW]).encode())
+            for i in range(len(toks) - _WINDOW + 1)
+        )
+        return best
+
+    return text.map(fp)

@@ -50,7 +50,6 @@ def hash_embed_udf(tokens: pd.Series) -> pd.Series:
 @pandas_udf(DoubleType())
 def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Row-wise cosine of two array<float> columns (one matmul per batch)."""
-    am = np.array([x if x is not None else [] for x in a], dtype=object)
     n = len(a)
     out = np.zeros(n)
     # stack ragged-safe: all vecs same dim in practice

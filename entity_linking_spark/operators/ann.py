@@ -1,0 +1,208 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+Replaces the reference's FAISS retrieval (faiss_indexer.py:47-136,
+IndexFlatIP exact + HNSW approximate) with Spark-native strategies:
+
+  brute_force_topk       exact: query broadcast x corpus, vectorized
+                         cosine in one numpy matmul per Arrow batch,
+                         per-query top-k window. The J6 full-matmul path
+                         (biencoder_.py:166-167) — correct baseline and
+                         fine whenever |queries| x |corpus| partitions fit.
+  lsh_topk               scale path: random-hyperplane LSH buckets (the
+                         banding analog of FAISS's coarse quantizer);
+                         candidates only within shared buckets, exact
+                         rescoring, per-query top-k. Probes multiple
+                         bucket permutations for recall.
+  ivf_topk               IVF-style: k-means-lite centroids (seeded,
+                         deterministic), assign corpus to nearest
+                         centroid, search only n_probe nearest cells.
+
+All math stays in numpy over Arrow batches — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
+from pyspark.sql.window import Window
+
+_SEED = 42
+N_PLANES = 16  # 16-bit bucket signatures
+_PLANE_CACHE: dict[int, np.ndarray] = {}
+
+
+def _planes(dim: int) -> np.ndarray:
+    if dim not in _PLANE_CACHE:
+        rng = np.random.RandomState(_SEED)
+        _PLANE_CACHE[dim] = rng.standard_normal((N_PLANES, dim)).astype(np.float32)
+    return _PLANE_CACHE[dim]
+
+
+@pandas_udf(IntegerType())
+def hyperplane_bucket_udf(vecs: pd.Series) -> pd.Series:
+    """Sign pattern of N_PLANES fixed hyperplanes -> int bucket id."""
+    mat = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
+    signs = (mat @ _planes(mat.shape[1]).T) > 0  # [n, planes]
+    weights = (1 << np.arange(N_PLANES)).astype(np.int64)
+    return pd.Series((signs @ weights).astype(np.int32))
+
+
+@pandas_udf(ArrayType(IntegerType()))
+def hyperplane_multiprobe_udf(vecs: pd.Series) -> pd.Series:
+    """Bucket + its N_PLANES single-bit-flip neighbors (multi-probe LSH:
+    recovers neighbors that fall just across one hyperplane)."""
+    mat = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
+    signs = (mat @ _planes(mat.shape[1]).T) > 0
+    weights = (1 << np.arange(N_PLANES)).astype(np.int64)
+    base = (signs @ weights).astype(np.int64)
+    flips = base[:, None] ^ weights[None, :]  # [n, planes]
+    out = np.concatenate([base[:, None], flips], axis=1).astype(np.int32)
+    return pd.Series(list(out))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries, matmul per Arrow batch.
+
+    Scale shape: corpus stays partitioned; each task scores its slice
+    against ALL queries in one [batch, dim] x [dim, nq] matmul, then a
+    per-query window keeps k. Works while queries fit in a broadcast
+    (the reference's eval path batches mentions the same way)."""
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    qmat = np.stack([np.asarray(r[1], dtype=np.float32) for r in qrows])
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def sims_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ qmat.T  # [batch, nq]
+        return pd.Series(list(sims.astype(np.float64)))
+
+    scored = corpus.select(
+        F.col(id_col), sims_udf(F.col(vec_col)).alias("sims")
+    ).select(
+        id_col, F.posexplode("sims").alias("q_idx", "cos_sim")
+    )
+    qmap = F.array(*[F.lit(q) for q in qids])
+    w = Window.partitionBy("q_idx").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            qmap[F.col("q_idx")].alias(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.round("cos_sim", 4).alias("cos_sim"),
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """LSH-bucketed ANN: corpus bucketed once (single bucket), queries
+    multi-probe their bucket + 1-bit neighbors; exact cosine inside
+    matched buckets; per-query top-k."""
+    from entity_linking_spark.functions.vectors import cosine_udf
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        hyperplane_bucket_udf(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("qvec"),
+        F.explode(hyperplane_multiprobe_udf(F.col(vec_col))).alias("bucket"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        q.join(c, "bucket")
+        .withColumn("cos_sim", F.round(cosine_udf("qvec", "cvec"), 4))
+        .select(query_id_col, "neighbor_id", "cos_sim")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: deterministic centroids (hash-seeded corpus sample,
+    one k-means sweep), corpus assigned to nearest cell, queries probe
+    n_probe cells, exact rescoring within."""
+    from entity_linking_spark.functions.vectors import cosine_udf
+
+    # deterministic centroid init: first n_cells corpus vectors by id
+    seed_rows = corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    cents = np.stack([np.asarray(r[0], dtype=np.float32) for r in seed_rows])
+    # one Lloyd sweep over a deterministic sample for stability
+    sample = corpus.orderBy(id_col).limit(n_cells * 32).select(vec_col).collect()
+    smat = np.stack([np.asarray(r[0], dtype=np.float32) for r in sample])
+    assign = np.argmax(smat @ cents.T, axis=1)
+    for c_i in range(n_cells):
+        members = smat[assign == c_i]
+        if len(members):
+            cents[c_i] = members.mean(axis=0)
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf(IntegerType())
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
+        return pd.Series(np.argmax(mat @ cents.T, axis=1).astype(np.int32))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
+        order = np.argsort(-(mat @ cents.T), axis=1)[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        cell_udf(F.col(vec_col)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("qvec"),
+        F.explode(probe_udf(F.col(vec_col))).alias("cell"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        q.join(c, "cell")
+        .withColumn("cos_sim", F.round(cosine_udf("qvec", "cvec"), 4))
+        .select(query_id_col, "neighbor_id", "cos_sim")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -31,7 +31,6 @@ repartition and the within-block self-join, both bounded by the cap.
 
 from __future__ import annotations
 
-import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -59,18 +58,61 @@ MENTIONS_SCHEMA = StructType(
 )
 
 
-def _compile_matcher(aliases: list[str]) -> re.Pattern:
-    """Longest-match-first alternation over normalized alias strings.
+_TERM = "\0"  # trie terminal marker (never a normalized token)
 
-    Sorting by length desc reproduces the reference's longest-alias-wins
-    contract (el_process.py:65). Word-boundary anchored so 'acme 1' does
-    not fire inside 'acme 10'. At KB scale this becomes an Aho-Corasick
-    automaton built once per executor; the regex form is the test-scale
-    equivalent with identical match semantics.
+
+class _DictMatcher:
+    """Token-trie longest-match-first dictionary matcher.
+
+    Reproduces the reference's jieba-user-dict longest-alias-wins
+    contract (el_process.py:65 sorts aliases longest-first) at
+    O(longest-alias) per token position, INDEPENDENT of dictionary size —
+    a first-token index degrades to O(|aliases sharing the anchor|) per
+    position (measured: 241 s for the mention stage at 500k docs / 150k
+    aliases whose first tokens collide; the trie removes it), and a regex
+    alternation degrades to O(|dictionary|). Built once per executor from
+    the broadcast alias list; matching is over the normalized token
+    stream, so word boundaries are structural.
     """
-    ordered = sorted({a for a in aliases if a}, key=len, reverse=True)
-    pattern = "|".join(re.escape(a) for a in ordered)
-    return re.compile(rf"(?<![0-9a-z一-鿿])({pattern})(?![0-9a-z一-鿿])")
+
+    def __init__(self, norm_aliases: list[str]) -> None:
+        self.root: dict = {}
+        for a in norm_aliases:
+            toks = a.split()
+            if not toks:
+                continue
+            node = self.root
+            for t in toks:
+                node = node.setdefault(t, {})
+            node[_TERM] = len(toks)
+
+    def find(self, tokens: list[str]) -> list[tuple[int, int]]:
+        """Non-overlapping (token_start, n_tokens) matches, left to right;
+        the deepest terminal on the trie walk = longest alias wins."""
+        out = []
+        i, n = 0, len(tokens)
+        root = self.root
+        while i < n:
+            node = root.get(tokens[i])
+            if node is None:
+                i += 1
+                continue
+            best = node.get(_TERM, 0)
+            j = i + 1
+            while j < n:
+                node = node.get(tokens[j])
+                if node is None:
+                    break
+                j += 1
+                ln = node.get(_TERM, 0)
+                if ln:
+                    best = ln
+            if best:
+                out.append((i, best))
+                i += best
+            else:
+                i += 1
+        return out
 
 
 def detect_mentions(
@@ -78,27 +120,44 @@ def detect_mentions(
     alias_list: list[str],
     text_col: str = "text",
     url_col: str = "url",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Dictionary-driven UDTF: one doc row -> many mention rows.
 
     Positions are char offsets into the *normalized* text (the reference
     computes offsets in lowercased text, service_main.py:128-134).
+    When ``tokens_col`` names a precomputed normalized-token column (the
+    fused s1 output), tokenization is skipped entirely.
     """
     norm_aliases = sorted({normalize_text(a) for a in alias_list if a})
+    use_tokens = tokens_col is not None
+    in_col = tokens_col if use_tokens else text_col
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        matcher = _compile_matcher(norm_aliases)
+        from entity_linking_spark.functions.normalize import basic_tokenize
+
+        matcher = _DictMatcher(norm_aliases)
         for pdf in batches:
             urls, mentions, starts, ends = [], [], [], []
-            for url, text in zip(pdf[url_col], pdf[text_col]):
-                if text is None:
+            for url, payload in zip(pdf[url_col], pdf[in_col]):
+                if payload is None:
                     continue
-                norm = normalize_text(text)
-                for m in matcher.finditer(norm):
+                tokens = list(payload) if use_tokens else basic_tokenize(payload)
+                hits = matcher.find(tokens)
+                if not hits:
+                    continue
+                # char offsets into the canonical normalized string
+                # (" ".join(tokens)) — cumulative token start positions
+                pos = [0]
+                for t in tokens:
+                    pos.append(pos[-1] + len(t) + 1)
+                for tok_start, n_toks in hits:
+                    s = pos[tok_start]
+                    e = pos[tok_start + n_toks] - 1
                     urls.append(url)
-                    mentions.append(m.group(1))
-                    starts.append(m.start(1))
-                    ends.append(m.end(1))
+                    mentions.append(" ".join(tokens[tok_start : tok_start + n_toks]))
+                    starts.append(s)
+                    ends.append(e)
             yield pd.DataFrame(
                 {
                     "url": pd.Series(urls, dtype="string"),
@@ -108,13 +167,21 @@ def detect_mentions(
                 }
             )
 
-    return docs.select(url_col, text_col).mapInPandas(run, schema=MENTIONS_SCHEMA)
+    return docs.select(url_col, in_col).mapInPandas(run, schema=MENTIONS_SCHEMA)
 
 
-def candidate_entities(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
+def candidate_entities(
+    mentions: DataFrame, aliases: DataFrame, max_ambiguity: int = 16
+) -> DataFrame:
     """J1: equi hash join mention -> candidate subject_ids, with per-alias
     ambiguity (how many entities share the alias — the disambiguation
-    prior, analog of the reference's entity_to_ids fan-out)."""
+    prior, analog of the reference's entity_to_ids fan-out).
+
+    Aliases shared by more than ``max_ambiguity`` entities are dropped at
+    the source: their fan-out is quadratic cost with near-zero evidence
+    weight (support 1/n_ids), and at corpus scale a stop-word-like alias
+    would multiply the candidate table by its entity count (the
+    reference's 南京南站-style hot keys, SURVEY §4)."""
     # normalize the alias side with the SAME frozen normalizer that
     # produced the mention strings, or hyphen/punct variants never join
     from entity_linking_spark.functions.normalize import normalize_udf
@@ -125,7 +192,9 @@ def candidate_entities(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     ambiguity = alias_norm.groupBy("alias").agg(
         F.countDistinct("subject_id").alias("n_ids")
     )
-    alias_b = F.broadcast(alias_norm.join(ambiguity, "alias"))
+    alias_b = F.broadcast(
+        alias_norm.join(ambiguity.where(F.col("n_ids") <= max_ambiguity), "alias")
+    )
     return (
         mentions.join(alias_b, mentions.mention == alias_b["alias"])
         .select("url", "mention", "subject_id", "n_ids")
@@ -168,7 +237,14 @@ def blocking_keys(
             .distinct()
         )
     if use_minhash:
-        bands = docs.select("url", minhash_bands_udf(F.col(text_tokens_col)).alias("bands"))
+        # use a precomputed bands column when the fused extract stage
+        # provides one (no extra Python pass); else derive from tokens
+        if "bands" in docs.columns:
+            bands = docs.select("url", "bands")
+        else:
+            bands = docs.select(
+                "url", minhash_bands_udf(F.col(text_tokens_col)).alias("bands")
+            )
         parts.append(
             bands.select("url", F.posexplode("bands").alias("band_idx", "band_hash"))
             .select(
@@ -193,14 +269,23 @@ def candidate_pairs(
     bounded, and the final distinct dedups pairs that co-occur under
     several keys.
     """
-    sizes = keys.groupBy("key").agg(F.count("*").alias("block_size"))
-    kept = keys.join(
-        sizes.where(F.col("block_size") <= max_block_size).select("key"), "key"
+    from pyspark.sql.window import Window
+
+    # block-size cap via a count window over the key: ONE shuffle
+    # (hash-partition by key), no size-estimate-dependent join whose
+    # strategy AQE could flip to a multi-million-row broadcast. The
+    # self-join below then reuses the same hashpartitioning(key) on both
+    # sides — no further exchange before the pair filter.
+    w = Window.partitionBy("key")
+    kept = (
+        keys.withColumn("block_size", F.count("*").over(w))
+        .where(F.col("block_size") <= max_block_size)
+        .select("key", "url")
     )
     a = kept.select(F.col("key"), F.col("url").alias("url_a"))
     b = kept.select(F.col("key"), F.col("url").alias("url_b"))
     return (
-        a.join(b, "key")
+        a.join(b.hint("shuffle_hash"), "key")
         .where(F.col("url_a") < F.col("url_b"))
         .select("url_a", "url_b")
         .distinct()

@@ -1,0 +1,196 @@
+"""Deduplication operators for training-data pipelines.
+
+First-class corpus-dedup components (driver brief: exact, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup). Each returns a
+DataFrame and composes with connected_components for cluster-level dedup.
+
+Scale profile: exact dedup is one hash aggregate; MinHash/SimHash are
+narrow maps + one banding-join shuffle; the verify/rescore step only ever
+touches candidate pairs, never the full cross product.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType
+
+from entity_linking_spark.functions.minhash import (
+    N_PERM,
+    est_jaccard,
+    minhash_signature,
+)
+from entity_linking_spark.operators import blocking, cluster
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "url") -> DataFrame:
+    """Hash-groupBy exact dedup: (content_hash, keeper, n_copies, members).
+
+    Keeper = min(id). One shuffle (hash aggregate with map-side combine).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count("*").alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+        )
+    )
+
+
+SIMHASH_BITS = 64
+
+
+def simhash(tokens: list[str]) -> int:
+    """Classic 64-bit SimHash over token crc32x2 hashes (public algorithm)."""
+    if not tokens:
+        return 0
+    acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
+    for t in tokens:
+        b = t.encode("utf-8")
+        h = (zlib.crc32(b) << 32) | zlib.crc32(b[::-1] + b"\x01")
+        for i in range(SIMHASH_BITS):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i in range(SIMHASH_BITS):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out - (1 << 63)  # to signed int64 for Spark LongType
+
+
+@pandas_udf(LongType())
+def simhash_udf(tokens: pd.Series) -> pd.Series:
+    return tokens.map(lambda t: simhash(list(t)) if t is not None else None)
+
+
+def simhash_near_dup_pairs(
+    docs_tokens: DataFrame,
+    id_col: str = "url",
+    tokens_col: str = "tokens",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup candidates: band the 64-bit fingerprint into 4
+    16-bit chunks (pigeonhole: hamming<=3 pairs share >=1 exact chunk),
+    equi-join on (chunk_idx, chunk), verify hamming distance exactly.
+
+    The banding join is the only shuffle; verification is bit_count on
+    xor — pure JVM.
+    """
+    sh = docs_tokens.select(id_col, simhash_udf(F.col(tokens_col)).alias("sh"))
+    chunks = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright("sh", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "sh", "c.chunk_idx", "c.chunk")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "chunk_idx", "chunk"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "chunk_idx", "chunk"
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+@pandas_udf(DoubleType())
+def _minhash_jaccard_udf(sig_a: pd.Series, sig_b: pd.Series) -> pd.Series:
+    out = np.empty(len(sig_a))
+    for i, (a, b) in enumerate(zip(sig_a, sig_b)):
+        out[i] = est_jaccard(np.asarray(a), np.asarray(b))
+    return pd.Series(out)
+
+
+def minhash_near_dup_pairs(
+    docs_tokens: DataFrame,
+    id_col: str = "url",
+    tokens_col: str = "tokens",
+    min_jaccard: float = 0.7,
+    max_block_size: int = 64,
+) -> DataFrame:
+    """MinHash-LSH near-dup: band-join candidates, verify estimated
+    Jaccard against the full 64-perm signatures."""
+    from entity_linking_spark.functions.minhash import minhash_signature_udf
+
+    base = docs_tokens.select(
+        F.col(id_col).alias("url"), F.col(tokens_col).alias("tokens")
+    )
+    keys = blocking.blocking_keys(
+        base, candidates=None, use_host=False, use_entity=False, use_minhash=True
+    )
+    pairs = blocking.candidate_pairs(keys, max_block_size=max_block_size)
+    sigs = base.select("url", minhash_signature_udf("tokens").alias("sig"))
+    sa = sigs.select(F.col("url").alias("url_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("url").alias("url_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, "url_a")
+        .join(sb, "url_b")
+        .withColumn("jaccard_est", _minhash_jaccard_udf("sig_a", "sig_b"))
+        .where(F.col("jaccard_est") >= min_jaccard)
+        .select("url_a", "url_b", "jaccard_est")
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame, pair_df: DataFrame, id_col: str = "url"
+) -> DataFrame:
+    """Near-dup pairs -> transitive dup clusters -> keeper per cluster."""
+    edges = pair_df.select("url_a", "url_b")
+    comps = cluster.connected_components(
+        edges, docs.select(F.col(id_col).alias("url"))
+    )
+    return comps.select(F.col("url").alias(id_col), F.col("cluster_id").alias("keeper"))
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH bucketing:
+    sign-pattern of k fixed pseudo-random hyperplanes -> bucket join ->
+    exact cosine verify inside buckets (never the full cross product)."""
+    from entity_linking_spark.functions.vectors import cosine_udf
+    from entity_linking_spark.operators.ann import hyperplane_bucket_udf
+
+    b = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        hyperplane_bucket_udf(F.col(vec_col)).alias("bucket"),
+    )
+    lhs = b.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
+    )
+    rhs = b.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket"
+    )
+    return (
+        lhs.join(rhs, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_udf("vec_a", "vec_b"))
+        .where(F.col("cos") >= min_cosine)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+        .distinct()
+    )

@@ -25,7 +25,14 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 _SCRIPT_RE = re.compile(rb"<script\b.*?</script>", re.DOTALL | re.IGNORECASE)
 _STYLE_RE = re.compile(rb"<style\b.*?</style>", re.DOTALL | re.IGNORECASE)
@@ -75,3 +82,61 @@ def with_extracted_text(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def extract_and_tokenize(
+    df: DataFrame,
+    html_col: str = "html",
+    keep: tuple[str, ...] = ("url", "warc_ts", "lang"),
+) -> DataFrame:
+    """Fused extract + tokenize + MinHash bands + hash-embedding in ONE
+    Python pass.
+
+    Chaining mapInPandas(extract) into per-column pandas UDFs costs a
+    JVM<->Python Arrow round-trip per stage, with the multi-KB html
+    binary column riding through the first (measured 5x slower at 200k
+    docs) and the token array re-crossing for every downstream per-doc
+    feature. Fusing computes every per-document feature the pipeline
+    needs while the tokens are already in Python memory, and emits only
+    the projected columns — the moral equivalent of whole-stage codegen
+    for the Python segment of the plan. Downstream stages (blocking keys,
+    scoring) then run entirely JVM-side on the precomputed columns.
+    """
+    from entity_linking_spark.functions.minhash import (
+        band_hashes,
+        minhash_signature,
+    )
+    from entity_linking_spark.functions.normalize import basic_tokenize
+    from entity_linking_spark.functions.vectors import hash_embed_matrix
+
+    fields = [f for f in df.schema.fields if f.name in keep]
+    out_schema = StructType(
+        fields
+        + [
+            StructField("text", StringType(), True),
+            StructField("tokens", ArrayType(StringType()), True),
+            StructField("bands", ArrayType(LongType()), True),
+            StructField("vec", ArrayType(FloatType()), True),
+        ]
+    )
+    keep_cols = [f.name for f in fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf[html_col].map(extract_text)
+            token_lists = [
+                basic_tokenize(t) if t is not None else None for t in texts
+            ]
+            bands = [
+                band_hashes(minhash_signature(t)) if t is not None else None
+                for t in token_lists
+            ]
+            emb = hash_embed_matrix([t or [] for t in token_lists])
+            out = pdf[keep_cols].copy()
+            out["text"] = texts
+            out["tokens"] = token_lists
+            out["bands"] = bands
+            out["vec"] = list(emb)
+            yield out
+
+    return df.select(*keep_cols, html_col).mapInPandas(run, schema=out_schema)

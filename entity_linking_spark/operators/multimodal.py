@@ -1,0 +1,173 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads ride as `binary` columns with a typed metadata
+struct; decode / feature-extract / resize / frame-sample run as
+mapInPandas stages with real schemas, partitioning, and Arrow batch
+shapes. The decode kernels themselves are STUBBED behind
+``_require_codec`` (the container ships no image/audio libraries — the
+stub raises NotImplementedError unless the deterministic fake codec is
+requested), but everything Spark-side is real and tested:
+schema contracts, batch iteration, per-row error channeling, partition
+preservation.
+
+Deterministic fake codec: payload bytes are interpreted as a seeded
+byte pattern (media_kind, width, height, ...) so tests exercise the full
+plumbing with byte-exact expectations.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", StructType([]), True),
+    ]
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("codec", StringType(), True),
+    ]
+)
+
+FAKE_MAGIC = b"FAKE"
+
+
+def encode_fake_media(kind: str, width: int, height: int, seed: int) -> bytes:
+    """Deterministic fake payload: header + seeded byte body."""
+    header = FAKE_MAGIC + struct.pack("<III", width, height, seed)
+    body = hashlib.sha256(header + kind.encode()).digest() * 4
+    return header + body
+
+
+def _require_codec(kind: str) -> None:
+    """Real decode needs an image/audio library the container lacks."""
+    raise NotImplementedError(
+        f"real {kind} decoding requires a codec library (PIL/ffmpeg/librosa) "
+        "not present in this environment; use codec='fake' for the "
+        "deterministic test codec"
+    )
+
+
+def decode_media(payload: bytes, kind: str, codec: str = "fake") -> np.ndarray:
+    """payload -> float32 feature array. STUB: only codec='fake' works."""
+    if codec != "fake":
+        _require_codec(kind)
+    if payload is None or not payload.startswith(FAKE_MAGIC):
+        raise ValueError("not a fake-codec payload")
+    width, height, seed = struct.unpack("<III", payload[4:16])
+    rng = np.random.RandomState(seed)
+    n = min(64, max(4, (width * height) % 64 or 4))
+    return rng.standard_normal(n).astype(np.float32)
+
+
+def with_media_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    kind_col: str = "kind",
+    out_col: str = "features",
+    codec: str = "fake",
+) -> DataFrame:
+    """mapInPandas decode/feature stage: binary -> array<float> + error col.
+
+    Per-row failures land in an ``decode_error`` column instead of
+    failing the task — at corpus scale a poison payload must not kill a
+    400-partition stage."""
+    fields = df.schema.fields + [
+        StructField(out_col, ArrayType(FloatType()), True),
+        StructField("decode_error", StringType(), True),
+    ]
+    out_schema = StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, errs = [], []
+            for payload, kind in zip(pdf[payload_col], pdf[kind_col]):
+                try:
+                    feats.append([float(x) for x in decode_media(payload, kind, codec)])
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — per-row error channel
+                    feats.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            pdf[out_col] = feats
+            pdf["decode_error"] = errs
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    n_frames: int = 4,
+    codec: str = "fake",
+) -> DataFrame:
+    """Frame-sampling UDTF: one video row -> n_frames feature rows.
+
+    Real decoder would seek keyframes; the fake codec derives per-frame
+    seeds deterministically. Output keeps (media_id, frame_idx, features).
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", StringType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("features", ArrayType(FloatType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                for fi in range(n_frames):
+                    frame_payload = payload[:12] + struct.pack("<I", fi)
+                    try:
+                        arr = decode_media(
+                            frame_payload + payload[16:], "video", codec
+                        )
+                        feats.append([float(x) for x in arr])
+                    except Exception:  # noqa: BLE001
+                        feats.append(None)
+                    ids.append(mid)
+                    idxs.append(fi)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="string"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def media_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """JVM-side payload stats (no decode): sizes per kind for planning."""
+    return df.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length(F.col(payload_col))).alias("total_bytes"),
+        F.round(F.avg(F.length(F.col(payload_col))), 2).alias("avg_bytes"),
+    )

@@ -31,8 +31,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from entity_linking_spark.functions.strings import jaro_winkler_udf
-from entity_linking_spark.functions.vectors import cosine_udf, hash_embed_udf
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from entity_linking_spark.functions.strings import jaro_winkler
+from entity_linking_spark.functions.vectors import hash_embed_udf
+
+_PAIR_SCORES_T = StructType(
+    [
+        StructField("cos", DoubleType()),
+        StructField("name", DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_PAIR_SCORES_T)
+def _pair_scores_udf(
+    vec_a: pd.Series, vec_b: pd.Series, m_a: pd.Series, m_b: pd.Series
+) -> pd.DataFrame:
+    """Both similarity kernels in ONE Arrow pass: batched cosine as a
+    single einsum over the stacked [batch, dim] matrices, Jaro-Winkler
+    per short mention string. A struct-returning UDF is materialized
+    once per row — unlike a Catalyst expression, it cannot be inlined
+    and re-evaluated at every downstream reference."""
+    n = len(vec_a)
+    cos = np.zeros(n)
+    mask = vec_a.notna() & vec_b.notna()
+    if mask.any():
+        ma = np.stack([np.asarray(v, dtype=np.float32) for v in vec_a[mask]])
+        mb = np.stack([np.asarray(v, dtype=np.float32) for v in vec_b[mask]])
+        na = np.maximum(np.linalg.norm(ma, axis=1), 1e-12)
+        nb = np.maximum(np.linalg.norm(mb, axis=1), 1e-12)
+        cos[np.flatnonzero(mask.to_numpy())] = (
+            np.einsum("ij,ij->i", ma, mb) / (na * nb)
+        )
+    name = np.fromiter(
+        (
+            jaro_winkler(x, y) if isinstance(x, str) and isinstance(y, str) else 0.0
+            for x, y in zip(m_a, m_b)
+        ),
+        dtype=np.float64,
+        count=n,
+    )
+    return pd.DataFrame({"cos": cos, "name": name})
 
 MATCH_THRESHOLD = 0.75
 DUP_COSINE_THRESHOLD = 0.92
@@ -57,9 +100,12 @@ def doc_features(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(supports, embeddings, top mention) per url — pruned feature tables."""
     supports = entity_support(candidates)
-    embeddings = docs_tokens.select(
-        "url", hash_embed_udf(F.col("tokens")).alias("vec")
-    )
+    if "vec" in docs_tokens.columns:  # fused s1 already embedded each doc
+        embeddings = docs_tokens.select("url", "vec")
+    else:
+        embeddings = docs_tokens.select(
+            "url", hash_embed_udf(F.col("tokens")).alias("vec")
+        )
     # representative mention: longest mention per doc (longest-alias-wins,
     # reference el_process.py:65 ordering)
     w = Window.partitionBy("url").orderBy(
@@ -93,39 +139,37 @@ def score_pairs(
         F.col("subject_id"),
         F.col("support").alias("support_b"),
     )
-    # shared-entity evidence: join pair->A-supports->B-supports on entity
+    # shared-entity evidence: join pair->A-supports->B-supports on entity.
+    # shuffle_hash hints: the per-url feature tables are uniformly keyed
+    # and modest per partition — hash join skips the SMJ sort of the big
+    # pair table at every hop.
     ent = (
-        pairs.join(sa, "url_a")
-        .join(sb, ["url_b", "subject_id"])
+        pairs.join(sa.hint("shuffle_hash"), "url_a")
+        .join(sb.hint("shuffle_hash"), ["url_b", "subject_id"])
         .groupBy("url_a", "url_b")
         .agg(F.max(F.least("support_a", "support_b")).alias("ent_score"))
     )
-    ea = embeddings.select(F.col("url").alias("url_a"), F.col("vec").alias("vec_a"))
-    eb = embeddings.select(F.col("url").alias("url_b"), F.col("vec").alias("vec_b"))
-    ma = top_mention.select(F.col("url").alias("url_a"), F.col("mention").alias("m_a"))
-    mb = top_mention.select(F.col("url").alias("url_b"), F.col("mention").alias("m_b"))
+    # merge the per-url features once (small join on the 1:1 url key), so
+    # the big pair table is joined only twice (a-side, b-side) instead of
+    # four times — each avoided join is a full exchange of the pair table
+    per_url = embeddings.join(top_mention, "url", "left")
+    fa = per_url.select(
+        F.col("url").alias("url_a"), F.col("vec").alias("vec_a"),
+        F.col("mention").alias("m_a"),
+    )
+    fb = per_url.select(
+        F.col("url").alias("url_b"), F.col("vec").alias("vec_b"),
+        F.col("mention").alias("m_b"),
+    )
 
     feat = (
-        pairs.join(ent, ["url_a", "url_b"], "left")
-        .join(ea, "url_a", "left")
-        .join(eb, "url_b", "left")
-        .join(ma, "url_a", "left")
-        .join(mb, "url_b", "left")
+        pairs.join(ent.hint("shuffle_hash"), ["url_a", "url_b"], "left")
+        .join(fa.hint("shuffle_hash"), "url_a", "left")
+        .join(fb.hint("shuffle_hash"), "url_b", "left")
         .withColumn("ent_score", F.coalesce("ent_score", F.lit(0.0)))
-        .withColumn(
-            "cos_score",
-            F.when(
-                F.col("vec_a").isNotNull() & F.col("vec_b").isNotNull(),
-                cosine_udf("vec_a", "vec_b"),
-            ).otherwise(F.lit(0.0)),
-        )
-        .withColumn(
-            "name_score",
-            F.when(
-                F.col("m_a").isNotNull() & F.col("m_b").isNotNull(),
-                jaro_winkler_udf("m_a", "m_b"),
-            ).otherwise(F.lit(0.0)),
-        )
+        .withColumn("_ps", _pair_scores_udf("vec_a", "vec_b", "m_a", "m_b"))
+        .withColumn("cos_score", F.col("_ps.cos"))
+        .withColumn("name_score", F.col("_ps.name"))
     )
     # fusion: unambiguous shared entity is decisive; near-identical text
     # (near-dup page) is decisive; otherwise a weighted blend.

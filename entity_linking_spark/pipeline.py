@@ -24,7 +24,6 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from entity_linking_spark import schema as S
-from entity_linking_spark.functions.normalize import tokenize_udf
 from entity_linking_spark.metrics import pairwise_prf
 from entity_linking_spark.operators import blocking, cluster, extract, scoring
 from entity_linking_spark.session import get_spark
@@ -43,21 +42,19 @@ def run_pipeline(
     """Full linkage run; returns (url, cluster_id). Checkpoints each stage."""
 
     def _extract() -> DataFrame:
-        out = extract.with_extracted_text(documents)
-        return out.select(
-            "url",
-            "warc_ts",
-            F.col("text_extracted").alias("text"),
-            "lang",
-            tokenize_udf(F.col("text_extracted")).alias("tokens"),
-        )
+        # spread the corpus across all cores before the Python stage;
+        # a small parquet input may arrive as 1-2 splits. Extraction and
+        # tokenization are FUSED into one mapInPandas (html never crosses
+        # JVM<->Python twice — see extract.extract_and_tokenize).
+        par = spark.sparkContext.defaultParallelism
+        return extract.extract_and_tokenize(documents.repartition(par))
 
     docs = io.run_stage(spark, workdir, "s1_extract", _extract, force)
 
     alias_list = [r["alias"] for r in aliases.select("alias").distinct().collect()]
 
     def _mentions() -> DataFrame:
-        return blocking.detect_mentions(docs, alias_list)
+        return blocking.detect_mentions(docs, alias_list, tokens_col="tokens")
 
     mentions = io.run_stage(spark, workdir, "s2_mentions", _mentions, force)
 
@@ -90,29 +87,37 @@ def main() -> None:
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--n-docs", type=int, default=2000)
     ap.add_argument("--n-entities", type=int, default=300)
+    ap.add_argument("--input-docs", help="parquet path; skips fixture synthesis")
+    ap.add_argument("--input-aliases", help="parquet path (with --input-docs)")
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
     spark = get_spark("el-pipeline", cores=args.cores)
-    fx = S.load_fixtures(spark, n_docs=args.n_docs, n_entities=args.n_entities)
+    if args.input_docs:
+        documents = spark.read.parquet(args.input_docs)
+        aliases = spark.read.parquet(args.input_aliases)
+        labeled_pairs = None
+    else:
+        fx = S.load_fixtures(spark, n_docs=args.n_docs, n_entities=args.n_entities)
+        documents, aliases = fx["documents"], fx["aliases"]
+        labeled_pairs = fx["labeled_pairs"]
     t0 = time.time()
-    clusters = run_pipeline(
-        spark, fx["documents"], fx["aliases"], args.workdir, force=args.force
-    )
+    clusters = run_pipeline(spark, documents, aliases, args.workdir, force=args.force)
     n_docs = clusters.count()
     elapsed = time.time() - t0
-    prf = pairwise_prf(clusters, fx["labeled_pairs"])
-    print(
-        json.dumps(
-            {
-                "docs": n_docs,
-                "seconds": round(elapsed, 2),
-                "docs_per_sec": round(n_docs / elapsed, 1),
-                **{k: round(v, 4) if isinstance(v, float) else v for k, v in prf.items()},
-            }
+    out = {
+        "docs": n_docs,
+        "seconds": round(elapsed, 2),
+        "docs_per_sec": round(n_docs / elapsed, 1),
+        "cores": spark.sparkContext.defaultParallelism,
+    }
+    if labeled_pairs is not None:
+        prf = pairwise_prf(clusters, labeled_pairs)
+        out.update(
+            {k: round(v, 4) if isinstance(v, float) else v for k, v in prf.items()}
         )
-    )
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -857,3 +857,94 @@ def stream_windowed_counts(spark, sf_dir):
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@query(
+    "f9_word_window_slice",
+    """SELECT doc_id,
+              array_to_string(string_split(text, ' ')[1:10], ' ') AS first_10
+       FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+)
+def f9_word_window_slice(spark, sf_dir):
+    """F9: first/last N space-tokens of a context window
+    (candidate_retrieval/utils.py:198-208)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 10)).alias(
+                "first_10"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "f13_first_occurrence",
+    """SELECT doc_id, strpos(text, 'join') AS pos
+       FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+)
+def f13_first_occurrence(spark, sf_dir):
+    """F13: first occurrence offset (text.index / locate,
+    service_main.py:128)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("doc_id") < 100)
+        .select("doc_id", F.locate("join", F.col("text")).alias("pos"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "a9_recall_at_k",
+    """SELECT round(avg(CASE WHEN label <= 1 THEN 1.0 ELSE 0.0 END), 4) AS recall_1,
+              round(avg(CASE WHEN label <= 4 THEN 1.0 ELSE 0.0 END), 4) AS recall_4,
+              round(avg(CASE WHEN label <= 8 THEN 1.0 ELSE 0.0 END), 4) AS recall_8
+       FROM embeddings""",
+)
+def a9_recall_at_k(spark, sf_dir):
+    """A9: biencoder recall@k fractions (main_dense.py:455-475)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.agg(
+        *[
+            F.round(F.avg((F.col("label") <= k).cast("double")), 4).alias(f"recall_{k}")
+            for k in (1, 4, 8)
+        ]
+    )
+
+
+@query(
+    "w2_topk_collect_sorted",
+    """WITH ranked AS (
+         SELECT event_type, event_id,
+                rank() OVER (PARTITION BY event_type
+                             ORDER BY value DESC, event_id) AS rnk
+         FROM events)
+       SELECT event_type,
+              string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS top_ids
+       FROM ranked WHERE rnk <= 3 GROUP BY event_type ORDER BY event_type""",
+)
+def w2_topk_collect_sorted(spark, sf_dir):
+    """W2: candidate list sorted + collected per group
+    (service_main.py:170, el_main.py:166-175 top-k cut)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        e.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 3)
+        .groupBy("event_type")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("event_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("top_ids")
+        )
+        .orderBy("event_type")
+    )

@@ -346,3 +346,96 @@ def load_fixtures(
         ),
     }
     return out
+
+
+# ---------------------------------------------------------------------------
+# Distributed fixture generation (bench scale). The pandas generators above
+# stay as the small-scale golden path; this one generates the same corpus
+# SHAPE entirely on executors (per-doc seeded RNG, order-independent), so a
+# 10^7-doc bench input is a narrow Spark job, not a driver loop.
+# ---------------------------------------------------------------------------
+
+
+def synth_documents_spark(
+    spark: SparkSession,
+    n_docs: int,
+    n_entities: int,
+    seed: int = SEED,
+    with_truth_column: bool = False,
+) -> DataFrame:
+    """Deterministic distributed corpus: same schema + statistical shape as
+    synth_documents (hosts with hot-key skew, 1-3 embedded aliases with at
+    least one unique, ~10% zh rows, mid-text newline), generated via
+    mapInPandas over spark.range. Pure function of (seed, doc_id).
+    """
+    import random as _random
+
+    from collections.abc import Iterator as _Iterator
+
+    kb = synth_kb(n_entities, seed)
+    alias_count: dict[str, int] = {}
+    for alist in kb["alias"]:
+        for a in alist:
+            alias_count[a] = alias_count.get(a, 0) + 1
+    ent_aliases = [
+        (
+            [a for a in r["alias"] if alias_count[a] == 1],
+            [a for a in r["alias"] if alias_count[a] > 1],
+            r["subject_id"],
+        )
+        for _, r in kb.iterrows()
+    ]
+    filler, zh_filler = list(_FILLER), list(_ZH_FILLER)
+
+    out_fields = list(DOCUMENTS_SCHEMA.fields)
+    if with_truth_column:
+        out_fields = out_fields + [StructField("truth_entity", StringType(), True)]
+    out_schema = StructType(out_fields)
+
+    def gen(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        t0 = datetime(2025, 1, 1, tzinfo=timezone.utc)
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                rng = _random.Random((seed << 32) ^ d)
+                host = (
+                    "site00.example.org"
+                    if rng.random() < 0.2
+                    else f"site{1 + rng.randrange(49):02d}.example.org"
+                )
+                url = f"https://{host}/page/{d:09d}"
+                lang = "zh" if d % 9 == 0 else "en"
+                has_entity = rng.random() < 0.8
+                words = [rng.choice(filler) for _ in range(rng.randrange(30, 80))]
+                truth = None
+                if has_entity:
+                    unique, ambiguous, sid = ent_aliases[rng.randrange(n_entities)]
+                    truth = sid
+                    picks = rng.sample(unique, k=min(len(unique), rng.randrange(1, 3)))
+                    if ambiguous and rng.random() < 0.5:
+                        picks.append(rng.choice(ambiguous))
+                    for p in picks:
+                        words.insert(rng.randrange(len(words)), p)
+                if lang == "zh":
+                    words.extend(rng.choice(zh_filler) for _ in range(10))
+                text = " ".join(words)
+                if rng.random() < 0.1:
+                    spaces = [i for i, ch in enumerate(text) if ch == " "]
+                    if spaces:
+                        cut = spaces[len(spaces) // 2]
+                        text = text[:cut] + "\n" + text[cut + 1 :]
+                row = {
+                    "url": url,
+                    "warc_ts": t0 + timedelta(seconds=d * 17),
+                    "html": make_html(text, url),
+                    "text": text,
+                    "lang": lang,
+                }
+                if with_truth_column:
+                    row["truth_entity"] = truth
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    par = spark.sparkContext.defaultParallelism
+    return spark.range(0, n_docs, 1, par * 2).mapInPandas(gen, schema=out_schema)

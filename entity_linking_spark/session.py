@@ -43,7 +43,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: one JVM hosts all executor threads — heap must scale
+        # with concurrent tasks or GC dominates (measured: 4x anti-scaling
+        # at local[32] with an 8g heap). On a real cluster this maps to
+        # spark.executor.memory per executor instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GC_OPTS", ""),
+        )
         .config("spark.ui.enabled", "false")
     )
     if "spark.master" not in os.environ.get("SPARK_CONF", ""):

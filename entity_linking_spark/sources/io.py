@@ -39,6 +39,7 @@ def write_stage(df: DataFrame, root: str, name: str, partition_by: list[str] | N
     writer.parquet(path)
     spark = df.sparkSession
     written = spark.read.parquet(path)
+    # one read-back pass yields both total rows and per-partition lineage
     per_partition = (
         written.groupBy(F.spark_partition_id().alias("partition"))
         .count()
@@ -46,7 +47,7 @@ def write_stage(df: DataFrame, root: str, name: str, partition_by: list[str] | N
     )
     meta = {
         "stage": name,
-        "rows": written.count(),
+        "rows": sum(r["count"] for r in per_partition),
         "seconds": round(time.time() - t0, 3),
         "partitions": {str(r["partition"]): r["count"] for r in per_partition},
         "schema": written.schema.simpleString(),
@@ -69,8 +70,17 @@ def run_stage(
     partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Skip-if-exists stage runner (the resume-from-checkpoint primitive)."""
+    verbose = os.environ.get("EL_VERBOSE") == "1"
+    t0 = time.time()
     if not force and stage_complete(root, name):
-        return read_stage(spark, root, name)
+        out = read_stage(spark, root, name)
+        if verbose:
+            print(f"[stage {name}] skipped (checkpoint), {time.time()-t0:.2f}s")
+        return out
     df = build()
+    if verbose:
+        print(f"[stage {name}] plan built at +{time.time()-t0:.2f}s", flush=True)
     write_stage(df, root, name, partition_by)
+    if verbose:
+        print(f"[stage {name}] written at +{time.time()-t0:.2f}s", flush=True)
     return read_stage(spark, root, name)

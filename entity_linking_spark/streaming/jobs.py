@@ -1,0 +1,103 @@
+"""Structured Streaming surface.
+
+The reference's only online surface is a synchronous Flask request loop
+(entity_sort/el_service.py:72-105) — per request: lowercase, alias-dict
+mention detection, candidate lookup, scoring, top-k. Its Spark-native
+equivalent is a micro-batched stream: readStream over arriving documents
+-> the same detect/score transformations via foreachBatch -> sink. The
+reference has no watermarks/stateful operators (SURVEY §2.9), so the jobs
+here are the canonical shapes a production deployment needs:
+
+  streaming_mention_counts  windowed counts with watermark (late data)
+  streaming_link_microbatch foreachBatch incremental linkage: each batch
+                            of new pages is blocked + scored against the
+                            already-linked corpus (the service loop, batched)
+
+Both run with trigger(availableNow=True) in tests — bounded input, real
+streaming engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def streaming_mention_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked windowed counts (the streaming analog of
+    plans/queries.stream_windowed_counts — same window semantics)."""
+    # watermarks require TIMESTAMP (with zone); parquet sources often carry
+    # TIMESTAMP_NTZ — cast defensively
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("window_start"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    source_parquet: str,
+    schema,
+    transform,
+    table_name: str,
+) -> StreamingQuery:
+    """readStream(parquet) -> transform -> in-memory sink, availableNow.
+
+    Bounded run of the real streaming engine: used by tests and as the
+    template for a production kafka/iceberg-source deployment.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(source_parquet)
+    )
+    out = transform(stream)
+    return (
+        out.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_link_microbatch(
+    spark: SparkSession,
+    new_docs_stream: DataFrame,
+    aliases: DataFrame,
+    alias_list: list[str],
+    sink_path: str,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    """foreachBatch incremental linkage: per micro-batch, run mention
+    detection + candidate generation on the new pages and append the
+    candidate table (reference service loop, service_main.py:93-175,
+    re-expressed as micro-batches)."""
+    from entity_linking_spark.operators import blocking
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        mentions = blocking.detect_mentions(batch_df, alias_list)
+        cands = blocking.candidate_entities(mentions, aliases)
+        cands.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            sink_path
+        )
+
+    return (
+        new_docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,139 @@
+"""Dedup operators + ANN search tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from entity_linking_spark.operators import ann, dedup
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    rows = []
+    for i in range(40):
+        v = base[i] / np.linalg.norm(base[i])
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    # near-dups of vec 0 and 1
+    for j, src in enumerate([0, 0, 1]):
+        v = base[src] + rng.standard_normal(16).astype(np.float32) * 0.01
+        v = v / np.linalg.norm(v)
+        rows.append(Row(vec_id=100 + j, embedding=[float(x) for x in v]))
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [Row(url="a", text="same text"), Row(url="b", text="same text"),
+         Row(url="c", text="other")]
+    )
+    out = {r.keeper: (r.n_copies, r.members) for r in dedup.exact_dedup(df).collect()}
+    assert out["a"] == (2, ["a", "b"])
+    assert out["c"] == (1, ["c"])
+
+
+def test_simhash_near_dup(spark):
+    # simhash stability needs doc-length token streams: 1 change in 120
+    # tokens flips only a few fingerprint bits
+    toks = [f"tok{i % 40}" for i in range(120)]
+    toks2 = list(toks)
+    toks2[3] = "CHANGED"
+    far = [f"word{i}" for i in range(120)]
+    df = spark.createDataFrame(
+        [Row(url="a", tokens=toks), Row(url="b", tokens=toks2), Row(url="c", tokens=far)]
+    )
+    pairs = dedup.simhash_near_dup_pairs(df, max_hamming=4).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert ("a", "b") in got
+    assert ("a", "c") not in got and ("b", "c") not in got
+
+
+def test_minhash_near_dup_and_clusters(spark):
+    base = [f"tok{i}" for i in range(60)]
+    var = list(base)
+    var[10] = "x"
+    far = [f"other{i}" for i in range(60)]
+    df = spark.createDataFrame(
+        [Row(url="a", tokens=base), Row(url="b", tokens=var), Row(url="c", tokens=far)]
+    )
+    pairs = dedup.minhash_near_dup_pairs(df, min_jaccard=0.5)
+    got = {(r.url_a, r.url_b): r.jaccard_est for r in pairs.collect()}
+    assert ("a", "b") in got and got[("a", "b")] > 0.5
+    clusters = dedup.dedup_clusters(df, pairs)
+    ks = {r.url: r.keeper for r in clusters.collect()}
+    assert ks["a"] == ks["b"] == "a"
+    assert ks["c"] == "c"
+
+
+def test_embedding_near_dup(corpus):
+    pairs = dedup.embedding_near_dup_pairs(corpus, min_cosine=0.95)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 100) in got and (0, 101) in got and (100, 101) in got
+    assert (1, 102) in got
+    assert all(a in (0, 1, 100, 101, 102) and b in (0, 1, 100, 101, 102) for a, b in got)
+
+
+def test_brute_force_topk_exact(spark, corpus):
+    queries = corpus.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann.brute_force_topk(corpus, queries, k=4)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert rows[0].neighbor_id == 0 and rows[0].cos_sim == 1.0
+    assert {r.neighbor_id for r in rows[1:3]} == {100, 101}
+
+
+def test_lsh_topk_finds_near_dups(spark, corpus):
+    queries = corpus.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann.lsh_topk(corpus, queries, k=4)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert rows[0].neighbor_id == 0
+    ids = {r.neighbor_id for r in rows}
+    assert 100 in ids and 101 in ids  # near-dups recovered via multiprobe
+
+
+def test_ivf_topk_finds_near_dups(spark, corpus):
+    queries = corpus.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann.ivf_topk(corpus, queries, k=4, n_cells=4, n_probe=2)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert rows[0].neighbor_id == 1 and rows[0].cos_sim == 1.0
+    assert 102 in {r.neighbor_id for r in rows}
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """On clustered embeddings (real-corpus geometry), LSH top-k recovers
+    most of the exact top-k. Random isotropic vectors are NOT the LSH
+    contract — near neighbors there have cos~0.3 and land in far buckets."""
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((5, 16)).astype(np.float32)
+    rows = []
+    vid = 0
+    for c in range(5):
+        for _ in range(12):
+            v = centers[c] + rng.standard_normal(16).astype(np.float32) * 0.05
+            v = v / np.linalg.norm(v)
+            rows.append(Row(vec_id=vid, embedding=[float(x) for x in v]))
+            vid += 1
+    corpus = spark.createDataFrame(rows)
+    queries = corpus.where(F.col("vec_id") % 12 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 8
+    exact = ann.brute_force_topk(corpus, queries, k=k).collect()
+    approx = ann.lsh_topk(corpus, queries, k=k).collect()
+    from collections import defaultdict
+
+    ex, ap = defaultdict(set), defaultdict(set)
+    for r in exact:
+        ex[r.query_id].add(r.neighbor_id)
+    for r in approx:
+        ap[r.query_id].add(r.neighbor_id)
+    recalls = [len(ex[q] & ap[q]) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls

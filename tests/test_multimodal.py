@@ -1,0 +1,61 @@
+"""Multimodal plumbing: schemas, batch shapes, error channeling, UDTF."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from entity_linking_spark.operators import multimodal as mm
+
+
+def _media_df(spark):
+    rows = [
+        Row(media_id="img1", kind="image", payload=mm.encode_fake_media("image", 64, 48, 1)),
+        Row(media_id="img2", kind="image", payload=mm.encode_fake_media("image", 32, 32, 2)),
+        Row(media_id="aud1", kind="audio", payload=mm.encode_fake_media("audio", 0, 0, 3)),
+        Row(media_id="bad1", kind="image", payload=b"not-a-payload"),
+        Row(media_id="nil1", kind="image", payload=None),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_decode_features_and_error_channel(spark):
+    out = mm.with_media_features(_media_df(spark)).collect()
+    by_id = {r.media_id: r for r in out}
+    assert by_id["img1"].features is not None and by_id["img1"].decode_error is None
+    assert len(by_id["img1"].features) >= 4
+    # poison rows land in the error column, never kill the task
+    assert by_id["bad1"].features is None
+    assert "ValueError" in by_id["bad1"].decode_error
+    assert by_id["nil1"].features is None and by_id["nil1"].decode_error
+
+
+def test_decode_deterministic(spark):
+    a = mm.with_media_features(_media_df(spark)).collect()
+    b = mm.with_media_features(_media_df(spark)).collect()
+    fa = {r.media_id: r.features for r in a}
+    fb = {r.media_id: r.features for r in b}
+    assert fa == fb
+
+
+def test_real_codec_is_stubbed(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="codec library"):
+        mm.decode_media(b"anything", "image", codec="pil")
+
+
+def test_frame_sampling_udtf(spark):
+    vids = spark.createDataFrame(
+        [Row(media_id="v1", kind="video", payload=mm.encode_fake_media("video", 8, 8, 9))]
+    )
+    frames = mm.sample_video_frames(vids, n_frames=4).collect()
+    assert [r.frame_idx for r in sorted(frames, key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
+    feats = {r.frame_idx: tuple(r.features) for r in frames}
+    assert feats[0] != feats[1]  # per-frame seeds differ
+
+
+def test_media_stats_jvm_side(spark):
+    stats = {r.kind: r for r in mm.media_stats(_media_df(spark)).collect()}
+    assert stats["image"].n == 4
+    assert stats["audio"].n == 1
+    assert stats["image"].total_bytes > 0

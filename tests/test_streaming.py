@@ -1,0 +1,87 @@
+"""Structured Streaming: windowed agg parity with batch + foreachBatch linkage."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from entity_linking_spark.streaming import jobs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_windowed_counts_matches_batch(spark, tmp_path):
+    import shutil
+
+    src_dir = tmp_path / "events_src"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "part-0.parquet")
+    events_schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    q = jobs.run_stream_to_memory(
+        spark,
+        str(src_dir),
+        events_schema,
+        lambda s: jobs.streaming_mention_counts(s),
+        "stream_counts_t",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM stream_counts_t").collect()
+    }
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:00").alias("ws"), "event_type", "n"
+        )
+        .collect()
+    )
+    want = {(r.ws, r.event_type): r.n for r in batch}
+    assert got == want
+
+
+def test_foreachbatch_incremental_linkage(spark, tmp_path):
+    from entity_linking_spark import schema as S
+
+    fx_docs = S.synth_documents(n_docs=60, n_entities=30)
+    kb = S.synth_kb(30)
+    aliases = spark.createDataFrame(S.kb_to_aliases(kb), schema=S.ALIASES_SCHEMA)
+    alias_list = [a for al in kb["alias"] for a in al]
+
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(fx_docs, schema=S.DOCUMENTS_SCHEMA).select(
+        "url", "text"
+    ).write.parquet(src)
+
+    sink = str(tmp_path / "cand_sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("url string, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    q = jobs.streaming_link_microbatch(spark, stream, aliases, alias_list, sink, ckpt)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(sink)
+    assert got.count() > 0
+    assert set(got.columns) == {"url", "mention", "subject_id", "n_ids", "batch_id"}
+    # same candidates as the batch path over the same docs
+    from entity_linking_spark.operators import blocking
+
+    docs = spark.createDataFrame(fx_docs, schema=S.DOCUMENTS_SCHEMA)
+    batch_cands = blocking.candidate_entities(
+        blocking.detect_mentions(docs, alias_list), aliases
+    )
+    stream_set = {
+        (r.url, r.mention, r.subject_id)
+        for r in got.select("url", "mention", "subject_id").collect()
+    }
+    batch_set = {
+        (r.url, r.mention, r.subject_id)
+        for r in batch_cands.select("url", "mention", "subject_id").collect()
+    }
+    assert stream_set == batch_set
