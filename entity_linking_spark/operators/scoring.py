@@ -126,9 +126,19 @@ def score_pairs(
     supports: DataFrame,
     embeddings: DataFrame,
     top_mention: DataFrame,
+    salt_factor: int | None = None,
 ) -> DataFrame:
     """Fused pair scores: (url_a, url_b, ent_score, cos_score, name_score,
-    score)."""
+    score).
+
+    ``salt_factor``: when a viral page appears in a disproportionate share
+    of candidate pairs (hot url key), pass a salt factor to run the
+    pair->feature joins as salted joins (operators/skew.py): the feature
+    tables are replicated salt_factor times and the hot key spreads over
+    that many reducers. Default None — blocking's stop-key caps bound the
+    per-key fan-out and AQE skew-join splits the residue, so salting is
+    only worth its replication cost under extreme residual skew.
+    """
     sa = supports.select(
         F.col("url").alias("url_a"),
         F.col("subject_id"),
@@ -162,10 +172,25 @@ def score_pairs(
         F.col("mention").alias("m_b"),
     )
 
+    if salt_factor:
+        from entity_linking_spark.operators.skew import salted_join
+
+        with_ent = pairs.join(ent.hint("shuffle_hash"), ["url_a", "url_b"], "left")
+        feat = salted_join(
+            salted_join(
+                with_ent, fa, "url_a", salt_cols=["url_b"], n_salts=salt_factor,
+                how="left",
+            ),
+            fb, "url_b", salt_cols=["url_a"], n_salts=salt_factor, how="left",
+        )
+    else:
+        feat = (
+            pairs.join(ent.hint("shuffle_hash"), ["url_a", "url_b"], "left")
+            .join(fa.hint("shuffle_hash"), "url_a", "left")
+            .join(fb.hint("shuffle_hash"), "url_b", "left")
+        )
     feat = (
-        pairs.join(ent.hint("shuffle_hash"), ["url_a", "url_b"], "left")
-        .join(fa.hint("shuffle_hash"), "url_a", "left")
-        .join(fb.hint("shuffle_hash"), "url_b", "left")
+        feat
         .withColumn("ent_score", F.coalesce("ent_score", F.lit(0.0)))
         .withColumn("_ps", _pair_scores_udf("vec_a", "vec_b", "m_a", "m_b"))
         .withColumn("cos_score", F.col("_ps.cos"))
