@@ -234,6 +234,80 @@ def _j9_hard_negative_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s1_jsonl_catalogue_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2: JSONL entity-catalogue scan + curid parse — the reference
+    reads one JSON entity per line and parses the curid out of the idx
+    URL (main_dense.py:119-151). Fixture written once, deterministic."""
+    import json
+    import os
+
+    from entity_linking_spark import schema as S
+
+    path = "/tmp/el_sources_demo/entities.jsonl"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        kb = S.synth_kb(100)
+        with open(path + ".tmp", "w") as f:
+            for i, (_, r) in enumerate(kb.iterrows()):
+                f.write(
+                    json.dumps(
+                        {
+                            "idx": f"https://en.wikipedia.org/wiki?curid={i}",
+                            "title": r["subject"],
+                            "text": " ".join(
+                                f"{d['predicate']}:{d['object']}" for d in r["data"]
+                            ),
+                        },
+                        ensure_ascii=False,
+                    )
+                    + "\n"
+                )
+        os.replace(path + ".tmp", path)
+    ents = spark.read.json(path)
+    return ents.select(
+        F.element_at(F.split("idx", "curid="), -1).cast("long").alias("entity_id"),
+        "title",
+        F.substring("text", 1, 50).alias("snippet"),
+    ).orderBy("entity_id")
+
+
+def _s5_tsv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: TSV mention-file scan (candidate_retrieval/dataset.py:18-69
+    splits lines on tabs). Fixture written once, deterministic."""
+    import os
+
+    path = "/tmp/el_sources_demo/mentions.tsv"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path + ".tmp", "w") as f:
+            for i in range(50):
+                f.write(f"doc{i:03d}\tmention {i}\t{i * 7}\te{i % 10:05d}\n")
+        os.replace(path + ".tmp", path)
+    df = spark.read.csv(
+        path,
+        sep="\t",
+        schema="doc_id string, mention string, offset int, kb_id string",
+    )
+    return df.orderBy("doc_id")
+
+
+def _s10_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: JSONL sink (write_dicts_as_json_per_line, utils.py:110-117) —
+    write df.write.json, read back, prove lossless roundtrip."""
+    import shutil
+
+    src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+        .where(F.col("doc_id") < 100)
+    )
+    out = "/tmp/el_sources_demo/docs_jsonl"
+    shutil.rmtree(out, ignore_errors=True)
+    src.write.json(out)
+    back = spark.read.json(out, schema="doc_id long, lang string, n_chars long")
+    return back.orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, plus the
     training-data operators (dedup / ANN / multimodal / fingerprints)."""
@@ -242,6 +316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["r1_negative_sampling"] = _r1_negative_sampling
     out["j11_coref_containment_selfjoin"] = _j11_coref_containment_selfjoin
     out["j9_hard_negative_join"] = _j9_hard_negative_join
+    out["s1_jsonl_catalogue_scan"] = _s1_jsonl_catalogue_scan
+    out["s5_tsv_scan"] = _s5_tsv_scan
+    out["s10_jsonl_sink_roundtrip"] = _s10_jsonl_sink_roundtrip
     # non-SQL-expressible: rows-only checks (custom vectorized operators)
     out["minhash_near_dup_clusters"] = _doc_clusters
     out["dedup_simhash_pairs"] = _dedup_simhash
@@ -255,4 +332,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle for each SQL-expressible query (same column names)."""
-    return Q.all_oracles()
+    out = Q.all_oracles()
+    # the JSONL sink roundtrip must be lossless: compare the re-read data
+    # against DuckDB reading the ORIGINAL parquet
+    out["s10_jsonl_sink_roundtrip"] = (
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE doc_id < 100 ORDER BY doc_id"
+    )
+    return out
