@@ -30,31 +30,54 @@ N_PERM = 64
 N_BANDS = 16
 ROWS_PER_BAND = N_PERM // N_BANDS
 SHINGLE_K = 3
-_MERSENNE = (1 << 61) - 1
 _SEED = 42
+_EMPTY_SENTINEL = (1 << 64) - 1
 
 _rng = np.random.RandomState(_SEED)
-_A = _rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.uint64)
-_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.uint64)
+# one 64-bit mixing key per permutation (splitmix64 scheme, see below)
+_KEYS = _rng.randint(0, 1 << 63, size=N_PERM, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public domain, Vigna 2015) over uint64 arrays.
+
+    All arithmetic intentionally wraps mod 2^64 (numpy uint64 semantics) —
+    unlike the round-1 (a*h+b) mod p scheme, wrap-around is part of the
+    algorithm here, not a silent overflow bug.
+    """
+    z = (z ^ (z >> np.uint64(30))) * _M1
+    z = (z ^ (z >> np.uint64(27))) * _M2
+    return z ^ (z >> np.uint64(31))
 
 
 def shingle_hashes(tokens: list[str], k: int = SHINGLE_K) -> np.ndarray:
-    """Distinct k-shingle hashes of a token list (uint64)."""
+    """Distinct k-shingle hashes of a token list, 64-bit.
+
+    Two independently-salted crc32s are concatenated into one uint64 so the
+    shingle space is 2^64 — a plain 32-bit space would collide visibly at
+    10^12-document corpus scale and inflate estimated Jaccard.
+    """
     if len(tokens) < k:
         joined = [" ".join(tokens)] if tokens else []
     else:
         joined = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
-    hs = {zlib.crc32(s.encode("utf-8")) for s in joined}
+    hs = {
+        (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9747B28C)
+        for b in (s.encode("utf-8") for s in joined)
+    }
     return np.fromiter(hs, dtype=np.uint64, count=len(hs))
 
 
 def minhash_signature(tokens: list[str]) -> np.ndarray:
-    """64-perm MinHash signature: sig[i] = min((a_i*h + b_i) mod p)."""
+    """64-perm MinHash signature: sig[i] = min(splitmix64(h ^ key_i))."""
     hs = shingle_hashes(tokens)
     if hs.size == 0:
-        return np.full(N_PERM, _MERSENNE, dtype=np.uint64)
+        return np.full(N_PERM, _EMPTY_SENTINEL, dtype=np.uint64)
     # [n_perm, n_shingles] — vectorized permutation evaluation
-    vals = (_A[:, None] * hs[None, :] + _B[:, None]) % np.uint64(_MERSENNE)
+    vals = _splitmix64(hs[None, :] ^ _KEYS[:, None])
     return vals.min(axis=1)
 
 

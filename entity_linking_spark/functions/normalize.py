@@ -155,9 +155,22 @@ def basic_tokenize(text: str, lower: bool = True) -> list[str]:
     return [t for t in " ".join(tokens).split()]
 
 
+# Cache ONLY short strings (aliases / mentions, which repeat across rows).
+# Documents are unique multi-KB texts: caching them would retain up to
+# maxsize full texts per Python worker (multi-GB resident memory) for a
+# ~0% hit rate, so long input bypasses the cache entirely.
+_CACHE_MAX_LEN = 256
+
+
 @lru_cache(maxsize=65536)
-def _cached_tokenize(text: str) -> tuple[str, ...]:
+def _cached_tokenize_short(text: str) -> tuple[str, ...]:
     return tuple(basic_tokenize(text))
+
+
+def _cached_tokenize(text: str) -> tuple[str, ...] | list[str]:
+    if len(text) <= _CACHE_MAX_LEN:
+        return _cached_tokenize_short(text)
+    return basic_tokenize(text)
 
 
 def normalize_text(text: str) -> str:

@@ -30,24 +30,35 @@ from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 from pyspark.sql.window import Window
 
 _SEED = 42
-N_PLANES = 16  # 16-bit bucket signatures
-_PLANE_CACHE: dict[int, np.ndarray] = {}
+N_PLANES = 16  # default bucket-signature width; tune per corpus size
+_PLANE_CACHE: dict[tuple[int, int], np.ndarray] = {}
 
 
-def _planes(dim: int) -> np.ndarray:
-    if dim not in _PLANE_CACHE:
+def _planes(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
+    key = (dim, n_planes)
+    if key not in _PLANE_CACHE:
         rng = np.random.RandomState(_SEED)
-        _PLANE_CACHE[dim] = rng.standard_normal((N_PLANES, dim)).astype(np.float32)
-    return _PLANE_CACHE[dim]
+        _PLANE_CACHE[key] = rng.standard_normal((n_planes, dim)).astype(np.float32)
+    return _PLANE_CACHE[key]
 
 
-@pandas_udf(IntegerType())
-def hyperplane_bucket_udf(vecs: pd.Series) -> pd.Series:
-    """Sign pattern of N_PLANES fixed hyperplanes -> int bucket id."""
-    mat = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
-    signs = (mat @ _planes(mat.shape[1]).T) > 0  # [n, planes]
-    weights = (1 << np.arange(N_PLANES)).astype(np.int64)
-    return pd.Series((signs @ weights).astype(np.int32))
+def make_bucket_udf(n_planes: int = N_PLANES):
+    """Factory: sign pattern of n_planes fixed hyperplanes -> int bucket id.
+
+    Parametrized so callers size the bucket count (2^n_planes) to the
+    corpus: more planes = smaller buckets = fewer pairs per bucket."""
+
+    @pandas_udf(IntegerType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
+        signs = (mat @ _planes(mat.shape[1], n_planes).T) > 0  # [n, planes]
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((signs @ weights).astype(np.int32))
+
+    return bucket_udf
+
+
+hyperplane_bucket_udf = make_bucket_udf(N_PLANES)
 
 
 @pandas_udf(ArrayType(IntegerType()))
@@ -161,12 +172,25 @@ def ivf_topk(
     n_probe cells, exact rescoring within."""
     from entity_linking_spark.functions.vectors import cosine_udf
 
-    # deterministic centroid init: first n_cells corpus vectors by id
-    seed_rows = corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
-    cents = np.stack([np.asarray(r[0], dtype=np.float32) for r in seed_rows])
-    # one Lloyd sweep over a deterministic sample for stability
-    sample = corpus.orderBy(id_col).limit(n_cells * 32).select(vec_col).collect()
-    smat = np.stack([np.asarray(r[0], dtype=np.float32) for r in sample])
+    # Deterministic centroid init via HASH SAMPLING — never a global sort.
+    # pmod(xxhash64(id), B) == 0 keeps ~1/B of rows with only a scan +
+    # filter (pushdown-friendly); a sort-then-limit over the corpus would
+    # shuffle 100 TB to pick a few hundred rows. The modulus is widened
+    # until the sample is large enough (tiny test corpora).
+    target = n_cells * 32
+    n_rows = corpus.count()
+    bucket_mod = max(1, int(n_rows // max(target, 1)))
+    sample_rows = (
+        corpus.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(bucket_mod)) == 0)
+        .select(id_col, vec_col)
+        .limit(target)
+        .collect()
+    )
+    sample_rows.sort(key=lambda r: r[0])  # seed order independent of partitioning
+    smat = np.stack([np.asarray(r[1], dtype=np.float32) for r in sample_rows])
+    cents = smat[: min(n_cells, len(smat))].copy()
+    if len(cents) < n_cells:
+        cents = np.vstack([cents] * (n_cells // max(len(cents), 1) + 1))[:n_cells]
     assign = np.argmax(smat @ cents.T, axis=1)
     for c_i in range(n_cells):
         members = smat[assign == c_i]

@@ -27,39 +27,71 @@ from entity_linking_spark.functions.minhash import (
 from entity_linking_spark.operators import blocking, cluster
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "url") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    max_members: int | None = 100,
+) -> DataFrame:
     """Hash-groupBy exact dedup: (content_hash, keeper, n_copies, members).
 
     Keeper = min(id). One shuffle (hash aggregate with map-side combine).
+
+    ``members`` is CAPPED at max_members ids per hash (viral duplicates —
+    empty pages, boilerplate — can have millions of copies; an unbounded
+    collect_list would materialize them all into one reducer row and OOM).
+    The cap is applied BEFORE aggregation via a row_number window on the
+    same key, so no task ever buffers more than max_members ids — and the
+    window's exchange is reused by the groupBy (one shuffle total).
+    ``n_copies`` always carries the true count; pass max_members=None to
+    drop the members column entirely (the unbounded-safe output for
+    full-corpus runs — join back on content_hash to enumerate members as
+    ordinary rows instead).
     """
-    return (
-        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
-        .agg(
-            F.min(id_col).alias("keeper"),
-            F.count("*").alias("n_copies"),
-            F.sort_array(F.collect_list(id_col)).alias("members"),
-        )
+    from pyspark.sql.window import Window
+
+    hashed = df.select(
+        F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col).alias("_id")
     )
+    aggs = [F.min("_id").alias("keeper"), F.count("*").alias("n_copies")]
+    if max_members is None:
+        return hashed.groupBy("content_hash").agg(*aggs)
+    w = Window.partitionBy("content_hash").orderBy("_id")
+    capped = hashed.withColumn(
+        "_member",
+        F.when(F.row_number().over(w) <= max_members, F.col("_id")),
+    )
+    aggs.append(F.sort_array(F.collect_list("_member")).alias("members"))
+    return capped.groupBy("content_hash").agg(*aggs)
 
 
 SIMHASH_BITS = 64
 
 
 def simhash(tokens: list[str]) -> int:
-    """Classic 64-bit SimHash over token crc32x2 hashes (public algorithm)."""
+    """Classic 64-bit SimHash over token crc32x2 hashes (public algorithm).
+
+    Vectorized: token hashes land in a uint64 array, np.unpackbits expands
+    them to a [n_tokens, 64] bit matrix in C, and the per-bit +/-1 vote is
+    one column sum — no 64-iteration Python inner loop per token."""
     if not tokens:
         return 0
-    acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
-    for t in tokens:
-        b = t.encode("utf-8")
-        h = (zlib.crc32(b) << 32) | zlib.crc32(b[::-1] + b"\x01")
-        for i in range(SIMHASH_BITS):
-            acc[i] += 1 if (h >> i) & 1 else -1
-    out = 0
-    for i in range(SIMHASH_BITS):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out - (1 << 63)  # to signed int64 for Spark LongType
+    hs = np.fromiter(
+        (
+            (zlib.crc32(b) << 32) | zlib.crc32(b[::-1] + b"\x01")
+            for b in (t.encode("utf-8") for t in tokens)
+        ),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+    # little-endian uint64 bytes + bitorder='little' => bits[:, i] == (h>>i)&1
+    bits = np.unpackbits(
+        hs.astype("<u8").view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    votes = 2 * bits.astype(np.int32).sum(axis=0) - len(tokens)  # [64]
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    out = int(weights[votes > 0].sum())
+    return out - (1 << 63)  # MSB flip: signed int64 for Spark, XOR-preserving
 
 
 @pandas_udf(LongType())
@@ -167,19 +199,35 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cosine: float = 0.95,
-    n_buckets: int = 8,
+    n_planes: int = 16,
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-dup via random-hyperplane LSH bucketing:
-    sign-pattern of k fixed pseudo-random hyperplanes -> bucket join ->
-    exact cosine verify inside buckets (never the full cross product)."""
-    from entity_linking_spark.functions.vectors import cosine_udf
-    from entity_linking_spark.operators.ann import hyperplane_bucket_udf
+    sign-pattern of ``n_planes`` fixed pseudo-random hyperplanes (2^n_planes
+    buckets — size it to the corpus) -> bucket self-join -> exact cosine
+    verify inside buckets (never the full cross product).
 
+    Buckets larger than ``max_bucket_size`` are DROPPED before the
+    self-join (stop-key treatment, same policy as blocking.candidate_pairs):
+    a degenerate bucket holding 10^5 near-identical boilerplate vectors
+    would otherwise emit 10^10 pairs on one reducer. Dropped buckets are
+    boilerplate by definition; handle them with exact_dedup upstream.
+    """
+    from pyspark.sql.window import Window
+
+    from entity_linking_spark.functions.vectors import cosine_udf
+    from entity_linking_spark.operators.ann import make_bucket_udf
+
+    bucket_udf = make_bucket_udf(n_planes)
     b = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        hyperplane_bucket_udf(F.col(vec_col)).alias("bucket"),
+        bucket_udf(F.col(vec_col)).alias("bucket"),
     )
+    size_w = Window.partitionBy("bucket")
+    b = b.withColumn("_bsize", F.count("*").over(size_w)).where(
+        F.col("_bsize") <= max_bucket_size
+    ).drop("_bsize")
     lhs = b.select(
         F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
     )

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     StringType,
@@ -38,7 +39,7 @@ MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", StringType(), False),
         StructField("kind", StringType(), False),  # image | audio | video
-        StructField("payload", StructType([]), True),
+        StructField("payload", BinaryType(), True),
     ]
 )
 

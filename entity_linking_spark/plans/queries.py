@@ -283,7 +283,7 @@ def a5_rollup_recall(spark, sf_dir):
     """WITH counts AS (
          SELECT label, count(*) AS n FROM embeddings GROUP BY label)
        SELECT label, n,
-              sum(n) OVER (ORDER BY label ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              CAST(sum(n) OVER (ORDER BY label ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
        FROM counts ORDER BY label""",
 )
 def a6_cumulative_rank_curve(spark, sf_dir):
@@ -296,9 +296,9 @@ def a6_cumulative_rank_curve(spark, sf_dir):
 
 @query(
     "a7_hits_at_k",
-    """SELECT sum(CASE WHEN label <= 1 THEN 1 ELSE 0 END) AS hits_1,
-              sum(CASE WHEN label <= 4 THEN 1 ELSE 0 END) AS hits_4,
-              sum(CASE WHEN label <= 8 THEN 1 ELSE 0 END) AS hits_8,
+    """SELECT CAST(sum(CASE WHEN label <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_1,
+              CAST(sum(CASE WHEN label <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS hits_4,
+              CAST(sum(CASE WHEN label <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS hits_8,
               count(*) AS total
        FROM embeddings""",
 )
@@ -320,9 +320,9 @@ def a7_hits_at_k(spark, sf_dir):
                 (e1.vec_id + e2.vec_id) % 3 = 0 AS pred
          FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
          WHERE e1.vec_id < 60 AND e2.vec_id < 60)
-       SELECT sum(CASE WHEN pred AND is_match THEN 1 ELSE 0 END) AS tp,
-              sum(CASE WHEN pred AND NOT is_match THEN 1 ELSE 0 END) AS fp,
-              sum(CASE WHEN NOT pred AND is_match THEN 1 ELSE 0 END) AS fn
+       SELECT CAST(sum(CASE WHEN pred AND is_match THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              CAST(sum(CASE WHEN pred AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              CAST(sum(CASE WHEN NOT pred AND is_match THEN 1 ELSE 0 END) AS BIGINT) AS fn
        FROM pairs""",
 )
 def a8_pairwise_f1_counters(spark, sf_dir):

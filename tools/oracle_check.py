@@ -27,11 +27,16 @@ def _canon(v) -> str:
     if v is None:
         return "NULL"
     if isinstance(v, float):
+        # Dtype-strict: a float NEVER canonicalizes to an int string. The
+        # driver's harness keeps DuckDB HUGEINT sums as float64, so Spark
+        # BIGINT 103 vs oracle 103.0 must FAIL here too (round-1 lesson:
+        # the lenient int-collapse masked exactly that bug class).
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
+        s = f"{v:.6g}"
+        if "." not in s and "e" not in s and "inf" not in s:
+            s += ".0"
+        return s
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, datetime.datetime):
