@@ -41,9 +41,10 @@ def main() -> None:
         "a4_collect_ids_per_key",
         "stream_windowed_counts",
         "dedup_exact_keep_first",
-        "doc_fingerprint",
+        "text_analysis_suite",
         "ann_cosine_topk",
         "ngram_jaccard_similarity",
+        "dedup_minhash_pairs",
     ]
     all_q = Q.all_queries()
     times: dict[str, float] = {}

@@ -81,22 +81,35 @@ def minhash_signature(tokens: list[str]) -> np.ndarray:
     return vals.min(axis=1)
 
 
-def band_hashes(sig: np.ndarray) -> list[int]:
-    """Fold the signature into N_BANDS band hashes (int64 for Spark)."""
+def band_hashes(sig: np.ndarray, n_bands: int = N_BANDS) -> list[int]:
+    """Fold the signature into n_bands band hashes (int64 for Spark).
+
+    More bands of fewer rows = higher candidate recall at lower Jaccard
+    (P(candidate) = 1-(1-j^rows)^bands); size to the target threshold."""
+    rows = N_PERM // n_bands
     out = []
-    for b in range(N_BANDS):
-        chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+    for b in range(n_bands):
+        chunk = sig[b * rows : (b + 1) * rows]
         h = zlib.crc32(chunk.tobytes()) ^ (b << 32)
         out.append(int(np.int64(np.uint64(h))))
     return out
 
 
-@pandas_udf(ArrayType(LongType()))
-def minhash_bands_udf(tokens: pd.Series) -> pd.Series:
-    """tokens array -> N_BANDS LSH band hashes, Arrow-batched."""
-    return tokens.map(
-        lambda t: band_hashes(minhash_signature(list(t))) if t is not None else None
-    )
+def make_bands_udf(n_bands: int = N_BANDS):
+    """Factory: tokens array -> n_bands LSH band hashes, Arrow-batched."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def bands_udf(tokens: pd.Series) -> pd.Series:
+        return tokens.map(
+            lambda t: band_hashes(minhash_signature(list(t)), n_bands)
+            if t is not None
+            else None
+        )
+
+    return bands_udf
+
+
+minhash_bands_udf = make_bands_udf(N_BANDS)
 
 
 @pandas_udf(ArrayType(LongType()))

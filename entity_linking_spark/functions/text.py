@@ -8,12 +8,13 @@ builders for pipelines.
 
 from __future__ import annotations
 
+import re
 import zlib
 
 import pandas as pd
 from pyspark.sql import Column, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType, StringType
 
 STOPWORDS_EN = (
     "the a an and or of to in on at is are was were be been with for as by "
@@ -68,6 +69,34 @@ def content_fingerprint(text: Column) -> Column:
     return F.md5(
         F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.lower(text), r"\s+"))))
     )
+
+
+# --- F15: deterministic sentence splitter --------------------------------
+
+# The reference splits descriptions into sentences with segtok/punkt
+# (entity_candidate/utils.py:26-28; candidate_retrieval/
+# process_intro_sents.py:46-64 keeps the first 10 as sent_desc_1..10).
+# Those models are non-deterministic across versions; our analog is a
+# frozen regex: a sentence ends at . ! ? 。 followed by whitespace (or
+# end of text). Deterministic, unicode-aware, golden-testable.
+_SENT_BOUNDARY = re.compile(r"(?<=[.!?。])\s+")
+
+
+def split_sentences(text: str) -> list[str]:
+    """Deterministic sentence split; strips each piece, drops empties."""
+    if not text:
+        return []
+    return [s.strip() for s in _SENT_BOUNDARY.split(text) if s.strip()]
+
+
+def first_sentences(text: str, n: int = 10) -> list[str]:
+    """First n sentences — the sent_desc_1..10 column source (F15)."""
+    return split_sentences(text)[:n]
+
+
+@pandas_udf(ArrayType(StringType()))
+def split_sentences_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: split_sentences(t) if t is not None else None)
 
 
 _WINDOW = 8

@@ -90,15 +90,18 @@ def brute_force_topk(
     (the reference's eval path batches mentions the same way)."""
     qrows = queries.select(query_id_col, vec_col).collect()
     qids = [r[0] for r in qrows]
-    qmat = np.stack([np.asarray(r[1], dtype=np.float32) for r in qrows])
+    # float64 throughout: scores are oracle-compared at 4 decimals, and
+    # float32 accumulation error (~1e-7 relative) can flip a rounding
+    # boundary or a near-tie in the rank order
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
 
     @pandas_udf(ArrayType(DoubleType()))
     def sims_udf(vecs: pd.Series) -> pd.Series:
-        mat = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = mat @ qmat.T  # [batch, nq]
-        return pd.Series(list(sims.astype(np.float64)))
+        return pd.Series(list(sims))
 
     scored = corpus.select(
         F.col(id_col), sims_udf(F.col(vec_col)).alias("sims")

@@ -23,6 +23,7 @@ from entity_linking_spark.functions.minhash import (
     N_PERM,
     est_jaccard,
     minhash_signature,
+    minhash_signature_udf as _sig_udf,
 )
 from entity_linking_spark.operators import blocking, cluster
 
@@ -153,25 +154,72 @@ def _minhash_jaccard_udf(sig_a: pd.Series, sig_b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def shingle_set_col(tokens_col: str, k: int = 3):
+    """Distinct k-shingle strings of a token array — pure Column expr
+    (JVM, whole-stage codegen). Mirrors functions.minhash.shingle_hashes:
+    fewer than k tokens degrade to one whole-join shingle."""
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    tri = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + off) for off in range(k)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(n >= k, tri).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
 def minhash_near_dup_pairs(
     docs_tokens: DataFrame,
     id_col: str = "url",
     tokens_col: str = "tokens",
     min_jaccard: float = 0.7,
     max_block_size: int = 64,
+    n_bands: int | None = None,
+    verify: str = "est",
 ) -> DataFrame:
-    """MinHash-LSH near-dup: band-join candidates, verify estimated
-    Jaccard against the full 64-perm signatures."""
-    from entity_linking_spark.functions.minhash import minhash_signature_udf
+    """MinHash-LSH near-dup: band-join candidates, then verify.
+
+    verify='est'   — estimated Jaccard from the full 64-perm signatures
+                     (cheap; column ``jaccard_est``).
+    verify='exact' — exact Jaccard over distinct 3-shingle string sets,
+                     computed JVM-side only for candidate pairs (column
+                     ``jaccard``). This is the retrieve-then-rerank shape:
+                     LSH proposes, exact math disposes — and it makes the
+                     output independently checkable by an all-pairs oracle.
+
+    ``n_bands`` tunes candidate recall (defaults to the module's 16x4
+    banding; 32x2 pushes the miss probability at j>=0.7 below 1e-9).
+    """
+    from entity_linking_spark.functions.minhash import N_BANDS, make_bands_udf
 
     base = docs_tokens.select(
         F.col(id_col).alias("url"), F.col(tokens_col).alias("tokens")
     )
-    keys = blocking.blocking_keys(
-        base, candidates=None, use_host=False, use_entity=False, use_minhash=True
+    bands_udf = make_bands_udf(n_bands or N_BANDS)
+    keys = base.select(
+        "url", F.posexplode(bands_udf("tokens")).alias("band_idx", "band_hash")
+    ).select(
+        "url",
+        F.concat_ws(":", F.lit("mh"), "band_idx", "band_hash").alias("key"),
     )
     pairs = blocking.candidate_pairs(keys, max_block_size=max_block_size)
-    sigs = base.select("url", minhash_signature_udf("tokens").alias("sig"))
+    if verify == "exact":
+        sh = base.select("url", shingle_set_col("tokens").alias("sh"))
+        sa = sh.select(F.col("url").alias("url_a"), F.col("sh").alias("sh_a"))
+        sb = sh.select(F.col("url").alias("url_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+        return (
+            pairs.join(sa, "url_a")
+            .join(sb, "url_b")
+            .withColumn("jaccard", inter / union)
+            .where(F.col("jaccard") >= min_jaccard)
+            .select("url_a", "url_b", F.round("jaccard", 4).alias("jaccard"))
+        )
+    sigs = base.select("url", _sig_udf("tokens").alias("sig"))
     sa = sigs.select(F.col("url").alias("url_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("url").alias("url_b"), F.col("sig").alias("sig_b"))
     return (

@@ -217,27 +217,19 @@ def j8_link_count_join(spark, sf_dir):
 # ------------------------------------------------------------ aggregations
 
 @query(
-    "a1_group_count",
+    "a1_a2_a3_group_count_distinct",
     """SELECT event_type, count(*) AS n FROM events
-       GROUP BY event_type ORDER BY event_type""",
-)
-def a1_group_count(spark, sf_dir):
-    """A1: hash-aggregate count (enrich_data.py:88-109)."""
-    e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
-
-
-@query(
-    "a2_distinct_sorted_by_length",
-    """SELECT DISTINCT event_type FROM events
+       GROUP BY event_type
        ORDER BY length(event_type) DESC, event_type""",
 )
-def a2_distinct_sorted_by_length(spark, sf_dir):
-    """A2: distinct aliases sorted longest-first (el_process.py:63-66)."""
+def a1_a2_a3_group_count_distinct(spark, sf_dir):
+    """A1 hash-aggregate count (enrich_data.py:88-109) + A2/A3 distinct
+    key set sorted longest-first (el_process.py:63-66) in one query —
+    the groupBy IS the distinct, the count is A1's accumulator."""
     e = _t(spark, sf_dir, "events")
     return (
-        e.select("event_type")
-        .distinct()
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
         .orderBy(F.length("event_type").desc(), F.col("event_type"))
     )
 
@@ -295,21 +287,29 @@ def a6_cumulative_rank_curve(spark, sf_dir):
 
 
 @query(
-    "a7_hits_at_k",
+    "a7_a9_hits_recall_at_k",
     """SELECT CAST(sum(CASE WHEN label <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_1,
               CAST(sum(CASE WHEN label <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS hits_4,
               CAST(sum(CASE WHEN label <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS hits_8,
-              count(*) AS total
+              count(*) AS total,
+              round(avg(CASE WHEN label <= 1 THEN 1.0 ELSE 0.0 END), 4) AS recall_1,
+              round(avg(CASE WHEN label <= 4 THEN 1.0 ELSE 0.0 END), 4) AS recall_4,
+              round(avg(CASE WHEN label <= 8 THEN 1.0 ELSE 0.0 END), 4) AS recall_8
        FROM embeddings""",
 )
-def a7_hits_at_k(spark, sf_dir):
-    """A7: hits@{1,4,8} counters in one pass (zeshel_utils.py:70-99)."""
+def a7_a9_hits_recall_at_k(spark, sf_dir):
+    """A7 hits@{1,4,8} counters (zeshel_utils.py:70-99) + A9 recall@k
+    fractions (main_dense.py:455-475) — one single-pass aggregate."""
     e = _t(spark, sf_dir, "embeddings")
     return e.agg(
         F.sum((F.col("label") <= 1).cast("long")).alias("hits_1"),
         F.sum((F.col("label") <= 4).cast("long")).alias("hits_4"),
         F.sum((F.col("label") <= 8).cast("long")).alias("hits_8"),
         F.count("*").alias("total"),
+        *[
+            F.round(F.avg((F.col("label") <= k).cast("double")), 4).alias(f"recall_{k}")
+            for k in (1, 4, 8)
+        ],
     )
 
 
@@ -410,27 +410,8 @@ def w1_topk_per_group(spark, sf_dir):
     )
 
 
-@query(
-    "w3_rank_per_group",
-    """SELECT event_type, event_id, rnk FROM (
-         SELECT event_type, event_id,
-                rank() OVER (PARTITION BY event_type
-                             ORDER BY value DESC, event_id) AS rnk
-         FROM events) WHERE rnk <= 5
-       ORDER BY event_type, rnk""",
-)
-def w3_rank_per_group(spark, sf_dir):
-    """W3: argsort-desc rank (main_dense.py:282-284)."""
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").desc(), F.col("event_id")
-    )
-    return (
-        e.withColumn("rnk", F.rank().over(w))
-        .where(F.col("rnk") <= 5)
-        .select("event_type", "event_id", "rnk")
-        .orderBy("event_type", "rnk")
-    )
+# W3 (argsort-desc rank, main_dense.py:282-284) is covered by
+# w2_w3_rank_topk_collect below — same rank() window, plus the collect.
 
 
 @query(
@@ -471,110 +452,66 @@ def w5_global_sort_limit(spark, sf_dir):
 # ----------------------------------------------------------------- set ops
 
 @query(
-    "so1_union_distinct",
-    """SELECT c_nationkey AS nationkey FROM customer
-       UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    "so1_so2_so3_setops",
+    """SELECT 'union' AS op, c_nationkey AS nationkey FROM customer
+       UNION SELECT 'union', s_nationkey FROM supplier
+       UNION ALL
+       SELECT 'except', nationkey FROM (
+         SELECT DISTINCT c_nationkey AS nationkey FROM customer
+         EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+       UNION ALL
+       SELECT 'intersect', nationkey FROM (
+         SELECT DISTINCT c_nationkey AS nationkey FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier)
+       ORDER BY op, nationkey""",
 )
-def so1_union_distinct(spark, sf_dir):
-    """SO1: union + dedup (el_process.py:37-61)."""
+def so1_so2_so3_setops(spark, sf_dir):
+    """SO1 union+dedup (el_process.py:37-61), SO2 set difference
+    (el_preprocess.py:102-115), SO3 intersect/dedup — one tagged union of
+    all three set operations."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.union(s).distinct().orderBy("nationkey")
-
-
-@query(
-    "so2_except",
-    """SELECT DISTINCT c_nationkey AS nationkey FROM customer
-       EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""",
-)
-def so2_except(spark, sf_dir):
-    """SO2: set difference (el_preprocess.py:102-115)."""
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.distinct().exceptAll(s.distinct()).orderBy("nationkey")
-
-
-@query(
-    "so3_intersect",
-    """SELECT DISTINCT c_nationkey AS nationkey FROM customer
-       INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""",
-)
-def so3_intersect(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s).orderBy("nationkey")
+    uni = c.union(s).distinct().select(F.lit("union").alias("op"), "nationkey")
+    exc = (
+        c.distinct()
+        .exceptAll(s.distinct())
+        .select(F.lit("except").alias("op"), "nationkey")
+    )
+    inter = c.intersect(s).select(F.lit("intersect").alias("op"), "nationkey")
+    return uni.unionByName(exc).unionByName(inter).orderBy("op", "nationkey")
 
 
 # ------------------------------------------------- scalar string/math fns
 
 @query(
-    "f7_substring_truncate",
-    """SELECT doc_id, substr(text, 1, 100) AS snippet
-       FROM documents ORDER BY doc_id LIMIT 200""",
-)
-def f7_substring_truncate(spark, sf_dir):
-    """F7: description[:100] truncation (data_process_.py:196)."""
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", F.substring("text", 1, 100).alias("snippet"))
-        .orderBy("doc_id")
-        .limit(200)
-    )
-
-
-@query(
-    "f10_curid_parse",
+    "f7_f10_f12_f16_scalar_chain",
     """SELECT doc_id,
-              CAST(string_split('https://en.wikipedia.org/wiki?curid=' || CAST(doc_id AS VARCHAR), 'curid=')[-1] AS BIGINT) AS curid
-       FROM documents ORDER BY doc_id LIMIT 100""",
+              substr(text, 1, 100) AS snippet,
+              CAST(string_split('https://en.wikipedia.org/wiki?curid=' || CAST(doc_id AS VARCHAR), 'curid=')[-1] AS BIGINT) AS curid,
+              array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), ' ') AS joined,
+              round(ln(1 + n_chars), 4) AS boost
+       FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
 )
-def f10_curid_parse(spark, sf_dir):
-    """F10: idx.split('curid=')[-1] -> int (main_dense.py:130-135)."""
+def f7_f10_f12_f16_scalar_chain(spark, sf_dir):
+    """Scalar-function chain, one projection row per doc:
+    F7 description[:100] truncation (data_process_.py:196),
+    F10 idx.split('curid=')[-1] -> int (main_dense.py:130-135),
+    F12 join non-empty lines (data_ingestion.py:113-116),
+    F16 log(1+num_incoming_links) boost (candidate_generators.py:127)."""
     d = _t(spark, sf_dir, "documents")
     url = F.concat(F.lit("https://en.wikipedia.org/wiki?curid="), F.col("doc_id"))
     return (
-        d.select(
-            "doc_id",
-            F.element_at(F.split(url, "curid="), -1).cast("long").alias("curid"),
-        )
-        .orderBy("doc_id")
-        .limit(100)
-    )
-
-
-@query(
-    "f12_line_join_nonempty",
-    """SELECT doc_id,
-              array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), ' ') AS joined
-       FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
-)
-def f12_line_join_nonempty(spark, sf_dir):
-    """F12: join non-empty lines (data_ingestion.py:113-116)."""
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.where(F.col("doc_id") < 50)
+        d.where(F.col("doc_id") < 200)
         .select(
             "doc_id",
+            F.substring("text", 1, 100).alias("snippet"),
+            F.element_at(F.split(url, "curid="), -1).cast("long").alias("curid"),
             F.concat_ws(
                 " ", F.filter(F.split(F.col("text"), " "), lambda x: x != "")
             ).alias("joined"),
+            F.round(F.log1p(F.col("n_chars")), 4).alias("boost"),
         )
         .orderBy("doc_id")
-    )
-
-
-@query(
-    "f16_log_boost",
-    """SELECT doc_id, round(ln(1 + n_chars), 4) AS boost
-       FROM documents ORDER BY doc_id LIMIT 200""",
-)
-def f16_log_boost(spark, sf_dir):
-    """F16: log(sum(num_incoming_links,1)) boost (candidate_generators.py:127)."""
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", F.round(F.log1p(F.col("n_chars")), 4).alias("boost"))
-        .orderBy("doc_id")
-        .limit(200)
     )
 
 
@@ -616,19 +553,50 @@ def f19_argmax_per_group(spark, sf_dir):
 # ----------------------------------------------- seeded sampling analogs
 
 @query(
-    "r1_deterministic_sample",
-    """SELECT doc_id FROM documents
-       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 25""",
+    "r1_negative_sampling",
+    """WITH g AS (SELECT doc_id AS gold_id FROM documents WHERE doc_id < 30),
+       c AS (SELECT doc_id AS cand_id FROM documents WHERE doc_id < 100),
+       x AS (SELECT gold_id, cand_id,
+                    row_number() OVER (
+                      PARTITION BY gold_id
+                      ORDER BY md5(CAST(gold_id AS VARCHAR) || '|' || CAST(cand_id AS VARCHAR)),
+                               cand_id) AS rn
+             FROM g CROSS JOIN c WHERE cand_id <> gold_id)
+       SELECT gold_id, cand_id, rn FROM x WHERE rn <= 2
+       ORDER BY gold_id, rn""",
 )
-def r1_deterministic_sample(spark, sf_dir):
-    """R1: seeded negative sampling re-expressed as engine-neutral
-    hash-ordered sampling (el_preprocess.py:104-121; seed rules
-    FIXTURES.md) — md5 ordering is identical in Spark and DuckDB."""
-    d = _t(spark, sf_dir, "documents")
+def r1_negative_sampling(spark, sf_dir):
+    """R1: seeded negative sampling — per gold id pick 2 non-gold
+    candidates by deterministic hash order (el_preprocess.py:104-121
+    random.sample with seed=123 -> engine-neutral md5 ordering + a
+    row_number window; same recipe both engines)."""
+    golds = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 30)
+        .select(F.col("doc_id").alias("gold_id"))
+    )
+    cands = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select(F.col("doc_id").alias("cand_id"))
+    )
+    w = Window.partitionBy("gold_id").orderBy(
+        F.md5(
+            F.concat(
+                F.col("gold_id").cast("string"),
+                F.lit("|"),
+                F.col("cand_id").cast("string"),
+            )
+        ),
+        "cand_id",
+    )
     return (
-        d.select("doc_id")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
-        .limit(25)
+        golds.crossJoin(cands)
+        .where(F.col("cand_id") != F.col("gold_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("gold_id", "cand_id", "rn")
+        .orderBy("gold_id", "rn")
     )
 
 
@@ -671,99 +639,57 @@ def dedup_exact_keep_first(spark, sf_dir):
 
 
 @query(
-    "text_quality_score",
+    "text_analysis_suite",
     """SELECT doc_id,
+              len(string_split(text, ' ')) AS num_tokens,
+              len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens,
               round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_word_len,
               round(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','and','on','of'))) AS DOUBLE)
-                    / len(string_split(text, ' ')), 4) AS stopword_ratio
-       FROM documents ORDER BY doc_id LIMIT 200""",
+                    / len(string_split(text, ' ')), 4) AS stopword_ratio,
+              CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) * 2 > len(regexp_extract_all(text, '[a-zA-Z]'))
+                   THEN 'cjk' ELSE 'latin' END AS script_guess,
+              md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+       FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
 )
-def text_quality_score(spark, sf_dir):
-    """Text-quality heuristics: avg word length + stopword ratio."""
+def text_analysis_suite(spark, sf_dir):
+    """Text-analysis suite, one pass per doc (training-data ops +
+    SURVEY A11): whitespace token count (A11,
+    process_wiki_extractor_output_full.py:71-72), BPE-ish regex token
+    count, avg word length + stopword ratio (quality scoring), CJK/Latin
+    script guess (lang-id heuristic), and an order-insensitive content
+    fingerprint (md5 of sorted distinct tokens) for dedup."""
     d = _t(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     stop = F.filter(words, lambda x: x.isin("the", "a", "and", "on", "of"))
+    cjk = F.size(F.regexp_extract_all(F.col("text"), F.lit("[一-鿿]"), 0))
+    latin = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-zA-Z]"), 0))
     return (
-        d.select(
+        d.where(F.col("doc_id") < 200)
+        .select(
             "doc_id",
+            F.size(words).alias("num_tokens"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)).alias(
+                "n_word_tokens"
+            ),
             F.round(F.col("n_chars").cast("double") / F.size(words), 4).alias(
                 "avg_word_len"
             ),
             F.round(F.size(stop).cast("double") / F.size(words), 4).alias(
                 "stopword_ratio"
             ),
-        )
-        .orderBy("doc_id")
-        .limit(200)
-    )
-
-
-@query(
-    "token_count_regex",
-    """SELECT doc_id, len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens
-       FROM documents ORDER BY doc_id LIMIT 200""",
-)
-def token_count_regex(spark, sf_dir):
-    """Token counting via regex (BPE-ish pre-tokenizer shape)."""
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.select(
-            "doc_id",
-            F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)).alias(
-                "n_word_tokens"
-            ),
-        )
-        .orderBy("doc_id")
-        .limit(200)
-    )
-
-
-@query(
-    "doc_fingerprint",
-    """SELECT doc_id,
-              md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
-       FROM documents ORDER BY doc_id LIMIT 200""",
-)
-def doc_fingerprint(spark, sf_dir):
-    """Document fingerprint: hash of the sorted distinct token set
-    (order-insensitive content signature for dedup)."""
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.select(
-            "doc_id",
+            F.when(cjk * 2 > latin, F.lit("cjk"))
+            .otherwise(F.lit("latin"))
+            .alias("script_guess"),
             F.md5(
                 F.concat_ws(
                     " ",
-                    F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))),
+                    F.array_sort(
+                        F.array_distinct(F.split(F.lower(F.col("text")), " "))
+                    ),
                 )
             ).alias("fingerprint"),
         )
         .orderBy("doc_id")
-        .limit(200)
-    )
-
-
-@query(
-    "lang_id_heuristic",
-    """SELECT doc_id,
-              CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) * 2 > len(regexp_extract_all(text, '[a-zA-Z]'))
-                   THEN 'cjk' ELSE 'latin' END AS script_guess
-       FROM documents ORDER BY doc_id LIMIT 200""",
-)
-def lang_id_heuristic(spark, sf_dir):
-    """Language-ID heuristic: CJK-vs-Latin char-class ratio."""
-    d = _t(spark, sf_dir, "documents")
-    cjk = F.size(F.regexp_extract_all(F.col("text"), F.lit("[一-鿿]"), 0))
-    latin = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-zA-Z]"), 0))
-    return (
-        d.select(
-            "doc_id",
-            F.when(cjk * 2 > latin, F.lit("cjk")).otherwise(F.lit("latin")).alias(
-                "script_guess"
-            ),
-        )
-        .orderBy("doc_id")
-        .limit(200)
     )
 
 
@@ -838,6 +764,232 @@ def ann_cosine_topk(spark, sf_dir):
 
 
 @query(
+    "p5_emoji_alias_filter",
+    """SELECT doc_id,
+              len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '), x -> x NOT IN ('the','a','of','and','on'))) AS n_removed,
+              array_to_string(list_filter(string_split(text, ' '), x -> x NOT IN ('the','a','of','and','on'))[1:8], ' ') AS kept_head
+       FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+)
+def p5_emoji_alias_filter(spark, sf_dir):
+    """P5: drop array elements found in a broadcast bad-token set — the
+    emoji-alias filter shape (data_ingestion.py:81-94 drops aliases in
+    emoji.UNICODE_EMOJI) as a higher-order array filter; the stand-in
+    set is a stopword list since this corpus has no emoji."""
+    banned = ("the", "a", "of", "and", "on")
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    kept = F.filter(toks, lambda x: ~x.isin(*banned))
+    return (
+        d.where(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            (F.size(toks) - F.size(kept)).alias("n_removed"),
+            F.concat_ws(" ", F.slice(kept, 1, 8)).alias("kept_head"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "j9_hard_negative_join",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < 20),
+       s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(q.qv AS DOUBLE[])) AS cs
+             FROM embeddings e CROSS JOIN q),
+       r AS (SELECT query_id, neighbor_id, cs,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, neighbor_id) AS rn
+             FROM s)
+       SELECT r.query_id, r.neighbor_id, round(r.cs, 4) AS cos_sim,
+              d.negative_desc
+       FROM r JOIN (SELECT doc_id AS neighbor_id,
+                           substr(text, 1, 60) AS negative_desc
+                    FROM documents) d ON r.neighbor_id = d.neighbor_id
+       WHERE rn <= 2 AND r.neighbor_id <> r.query_id
+       ORDER BY r.query_id, r.neighbor_id""",
+)
+def j9_hard_negative_join(spark, sf_dir):
+    """J9: hard-negative lookup — for each vector, its most-similar OTHER
+    vector's payload (biencoder/data_process_.py:168-196 fetches the
+    nearest non-gold entity's description via id_sim)."""
+    from entity_linking_spark.operators import ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = ann.brute_force_topk(emb, queries_df, k=2).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.substring("text", 1, 60).alias("negative_desc"),
+    )
+    return (
+        top.join(docs, "neighbor_id")
+        .select("query_id", "neighbor_id", "cos_sim", "negative_desc")
+        .orderBy("query_id", "neighbor_id")
+    )
+
+
+_J10_ORACLE = """
+WITH words AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''),
+ic AS (SELECT w, upper(substr(w, 1, 1)) || lower(substr(w, 2)) AS title,
+              length(w) AS L FROM words),
+freq AS (
+  SELECT title AS key, CAST(L AS BIGINT) AS freq FROM ic WHERE L % 2 = 0
+  UNION ALL
+  SELECT w, CAST(L * 2 AS BIGINT) FROM ic WHERE L % 3 = 0),
+pem_keys AS (
+  SELECT title AS key FROM ic WHERE L % 2 = 0
+  UNION SELECT w FROM ic WHERE L % 3 = 0
+  UNION SELECT w FROM ic WHERE L % 5 = 0),
+pem AS (SELECT key, 'e_' || key || '_' || CAST(i AS VARCHAR) AS entity,
+               round(CAST(1.0 AS DOUBLE) / i, 4) AS prior
+        FROM pem_keys CROSS JOIN (SELECT unnest([1, 2]) AS i)),
+peml_keys AS (SELECT w AS key FROM ic WHERE L % 7 = 0),
+peml AS (SELECT key, 'l_' || key || '_' || CAST(i AS VARCHAR) AS entity,
+                round(CAST(1.0 AS DOUBLE) / i, 4) AS prior
+         FROM peml_keys CROSS JOIN (SELECT unnest([1, 2]) AS i)),
+resolved AS (
+  SELECT i.w AS span,
+         CASE WHEN coalesce(ft.freq, 0) = 0 AND coalesce(fs.freq, 0) = 0 THEN
+                CASE WHEN pk.key IS NOT NULL THEN i.w
+                     WHEN lk.key IS NOT NULL THEN i.w END
+              WHEN coalesce(fs.freq, 0) > coalesce(ft.freq, 0) THEN i.w
+              ELSE i.title END AS matched_key,
+         CASE WHEN coalesce(ft.freq, 0) = 0 AND coalesce(fs.freq, 0) = 0 THEN
+                CASE WHEN pk.key IS NOT NULL THEN 'p_e_m'
+                     WHEN lk.key IS NOT NULL THEN 'p_e_m_lower' END
+              ELSE 'p_e_m' END AS matched_map
+  FROM ic i
+  LEFT JOIN freq ft ON ft.key = i.title
+  LEFT JOIN freq fs ON fs.key = i.w
+  LEFT JOIN (SELECT DISTINCT key FROM pem) pk ON pk.key = i.w
+  LEFT JOIN (SELECT DISTINCT key FROM peml) lk ON lk.key = i.w)
+SELECT r.span, r.matched_key, r.matched_map, c.entity, c.prior
+FROM resolved r
+LEFT JOIN (SELECT 'p_e_m' AS mm, key, entity, prior FROM pem
+           UNION ALL
+           SELECT 'p_e_m_lower', key, entity, prior FROM peml) c
+  ON c.mm = r.matched_map AND c.key = r.matched_key
+ORDER BY span, entity
+"""
+
+
+@query("j10_prior_fallback_join", _J10_ORACLE)
+def j10_prior_fallback_join(spark, sf_dir):
+    """J10 (+F14): p_e_m prior lookup with the reference's ordered probe
+    cascade — span.title()/raw frequency contest, then lowered-span
+    fallbacks against p_e_m and p_e_m_lower (candidate_retrieval/
+    dataset.py:300-347; F14 initcap probe key :325-326). The prior tables
+    are synthesized deterministically from the corpus vocabulary so the
+    oracle can rebuild them: even-length words get title-cased freq+prior
+    keys, %3 raw keys, %5 extra p_e_m raw keys, %7 p_e_m_lower keys."""
+    from entity_linking_spark.operators.priors import prior_fallback_join
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    L = F.length("w")
+    ic = words.select("w", F.initcap("w").alias("title"), L.alias("L"))
+    freq = (
+        ic.where(F.col("L") % 2 == 0)
+        .select(F.col("title").alias("key"), F.col("L").cast("long").alias("freq"))
+        .unionByName(
+            ic.where(F.col("L") % 3 == 0).select(
+                F.col("w").alias("key"), (F.col("L") * 2).cast("long").alias("freq")
+            )
+        )
+    )
+    pem_keys = (
+        ic.where(F.col("L") % 2 == 0)
+        .select(F.col("title").alias("key"))
+        .union(ic.where(F.col("L") % 3 == 0).select(F.col("w").alias("key")))
+        .union(ic.where(F.col("L") % 5 == 0).select(F.col("w").alias("key")))
+        .distinct()
+    )
+    i_col = F.explode(F.array(F.lit(1), F.lit(2))).alias("i")
+
+    def _cands(keys, prefix):
+        return keys.select("key", i_col).select(
+            "key",
+            F.concat(F.lit(prefix), F.col("key"), F.lit("_"), F.col("i")).alias(
+                "entity"
+            ),
+            F.round(F.lit(1.0) / F.col("i"), 4).alias("prior"),
+        )
+
+    pem = _cands(pem_keys, "e_")
+    peml = _cands(
+        ic.where(F.col("L") % 7 == 0).select(F.col("w").alias("key")).distinct(), "l_"
+    )
+    mentions = ic.select(F.col("w").alias("span"))
+    out = prior_fallback_join(mentions, freq, pem, peml, span_col="span")
+    return out.select(
+        "span", "matched_key", "matched_map", "entity", "prior"
+    ).orderBy("span", "entity")
+
+
+@query(
+    "j11_coref_containment_selfjoin",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents WHERE doc_id < 20),
+       words AS (SELECT DISTINCT doc_id, w AS short_m
+                 FROM (SELECT doc_id, unnest(t) AS w FROM d) WHERE w <> ''),
+       bigr AS (SELECT DISTINCT doc_id, b AS long_m FROM (
+                  SELECT doc_id,
+                         unnest(list_transform(generate_series(1, len(t) - 1),
+                                               i -> t[i] || ' ' || t[i + 1])) AS b
+                  FROM d))
+       SELECT w.doc_id AS doc_id, w.short_m, b.long_m
+       FROM words w JOIN bigr b ON w.doc_id = b.doc_id
+       WHERE strpos(' ' || b.long_m || ' ', ' ' || w.short_m || ' ') > 0
+       ORDER BY w.doc_id, w.short_m, b.long_m LIMIT 300""",
+)
+def j11_coref_containment_selfjoin(spark, sf_dir):
+    """J11: coref containment self-join — a short mention contained
+    (word-boundary) in a longer mention of the SAME doc
+    (candidate_retrieval/dataset.py:153-187). Non-equi instr predicate
+    inside the doc-key equi join; here words vs adjacent bigrams."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 20)
+        .select("doc_id", F.split("text", " ").alias("t"))
+    )
+    words = (
+        d.select("doc_id", F.explode(F.array_distinct("t")).alias("short_m"))
+        .where(F.col("short_m") != "")
+        .distinct()
+    )
+    toks = F.col("t")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    bigr = d.select(
+        "doc_id", F.explode(F.array_distinct(bigrams)).alias("long_m")
+    ).distinct()
+    pad = lambda c: F.concat(F.lit(" "), F.col(c), F.lit(" "))  # noqa: E731
+    return (
+        words.join(bigr, "doc_id")
+        .where(F.instr(pad("long_m"), pad("short_m")) > 0)
+        .select("doc_id", "short_m", "long_m")
+        .orderBy("doc_id", "short_m", "long_m")
+        .limit(300)
+    )
+
+
+@query(
     "stream_windowed_counts",
     """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:00') AS window_start,
               event_type, count(*) AS n
@@ -860,63 +1012,346 @@ def stream_windowed_counts(spark, sf_dir):
 
 
 @query(
-    "f9_word_window_slice",
+    "f9_f13_window_slice_offset",
     """SELECT doc_id,
-              array_to_string(string_split(text, ' ')[1:10], ' ') AS first_10
+              array_to_string(string_split(text, ' ')[1:10], ' ') AS first_10,
+              array_to_string(string_split(text, ' ')[-10:], ' ') AS last_10,
+              strpos(text, 'join') AS pos
        FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
 )
-def f9_word_window_slice(spark, sf_dir):
-    """F9: first/last N space-tokens of a context window
-    (candidate_retrieval/utils.py:198-208)."""
+def f9_f13_window_slice_offset(spark, sf_dir):
+    """F9 first/last N space-tokens of a context window
+    (candidate_retrieval/utils.py:198-208) + F13 first occurrence offset
+    (text.index / locate, service_main.py:128)."""
     d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    last10 = F.slice(toks, F.greatest(n - 9, F.lit(1)), 10)
     return (
         d.where(F.col("doc_id") < 100)
         .select(
             "doc_id",
-            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 10)).alias(
-                "first_10"
-            ),
+            F.concat_ws(" ", F.slice(toks, 1, 10)).alias("first_10"),
+            F.concat_ws(" ", last10).alias("last_10"),
+            F.locate("join", F.col("text")).alias("pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# A9 recall@k is folded into a7_a9_hits_recall_at_k above (same one-pass
+# aggregate as the A7 hit counters).
+
+
+_F4_F5_ORACLE = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t, CAST(doc_id % 12 AS INT) AS L
+  FROM documents
+  WHERE doc_id < 150 AND len(string_split(text, ' ')) >= 20),
+parts AS (
+  SELECT doc_id, t, t[1:L] AS lft, t[L+1:L+2] AS men, t[L+3:L+17] AS rgt
+  FROM base),
+quota AS (
+  SELECT doc_id, t, lft, men, rgt,
+         len(lft) AS la, len(rgt) AS ra,
+         (24 - (len(men) + 2)) // 2 - 1 AS lq0,
+         24 - (len(men) + 2) - ((24 - (len(men) + 2)) // 2 - 1) - 2 AS rq0
+  FROM parts),
+quota2 AS (
+  SELECT *,
+         CASE WHEN la <= lq0 THEN lq0
+              WHEN ra <= rq0 THEN lq0 + (rq0 - ra)
+              ELSE lq0 END AS lq,
+         CASE WHEN la <= lq0 AND ra > rq0 THEN rq0 + (lq0 - la)
+              ELSE rq0 END AS rq
+  FROM quota)
+SELECT doc_id,
+       array_to_string(
+         ['[CLS]'] || (CASE WHEN la <= lq THEN lft ELSE lft[la-lq+1:la] END)
+         || ['[unused1]'] || men || ['[unused2]'] || rgt[1:rq] || ['[SEP]'],
+         ' ') AS ctx_repr,
+       array_to_string(
+         ['[CLS]'] || ([t[1], '[unused3]'] || t[2:21])[1:22] || ['[SEP]'],
+         ' ') AS cand_repr
+FROM quota2 ORDER BY doc_id
+"""
+
+
+@query("f4_f5_feature_build", _F4_F5_ORACLE)
+def f4_f5_feature_build(spark, sf_dir):
+    """F4 context-window quota split with borrowed budget + F5 candidate
+    representation assembly (biencoder/data_process_.py:44-70, :87-119;
+    tags common/params.py:16-18) — run through the REAL Arrow-batched
+    feature UDFs (functions/features.py); the oracle re-derives the quota
+    arithmetic and slicing in pure SQL. Corpus tokens are
+    normalization-invariant, so tokenize(join(tokens)) == tokens and both
+    sides see identical token streams."""
+    from entity_linking_spark.functions.features import (
+        make_candidate_repr_udf,
+        make_context_repr_udf,
+    )
+
+    ctx_udf = make_context_repr_udf(24)
+    cand_udf = make_candidate_repr_udf(24)
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    L = (F.col("doc_id") % 12).cast("int")
+    base = d.where((F.col("doc_id") < 150) & (F.size(toks) >= 20)).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, L)).alias("left_txt"),
+        F.concat_ws(" ", F.slice(toks, L + 1, 2)).alias("men_txt"),
+        F.concat_ws(" ", F.slice(toks, L + 3, 15)).alias("right_txt"),
+        F.element_at(toks, 1).alias("title_txt"),
+        F.concat_ws(" ", F.slice(toks, 2, 20)).alias("desc_txt"),
+    )
+    return (
+        base.select(
+            "doc_id",
+            F.concat_ws(
+                " ", ctx_udf(F.col("left_txt"), F.col("men_txt"), F.col("right_txt"))
+            ).alias("ctx_repr"),
+            F.concat_ws(
+                " ", cand_udf(F.col("title_txt"), F.col("desc_txt"))
+            ).alias("cand_repr"),
         )
         .orderBy("doc_id")
     )
 
 
 @query(
-    "f13_first_occurrence",
-    """SELECT doc_id, strpos(text, 'join') AS pos
-       FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "f6_kb_description",
+    """SELECT doc_id,
+              CASE WHEN doc_id % 10 = 0
+                   THEN '摘要，' || t[1] || '无描述信息。'
+                   ELSE t[2] || ':' || t[3] || '。' || t[4] || ':' || t[5] || '。'
+                        || t[6] || ':' || t[7] || '。' END AS description
+       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             WHERE doc_id < 150)
+       WHERE len(t) >= 7 ORDER BY doc_id""",
 )
-def f13_first_occurrence(spark, sf_dir):
-    """F13: first occurrence offset (text.index / locate,
-    service_main.py:128)."""
+def f6_kb_description(spark, sf_dir):
+    """F6: KB description synthesis — concat predicate:object pairs with
+    the。-suffix-unless-already-suffixed rule, empty data -> the 摘要
+    fallback string (eval_biencoder_.py:45-57, el_preprocess.py:124-164,
+    el_main.py:128-161). Higher-order aggregate over a struct array built
+    deterministically from corpus tokens (docs with doc_id%10==0 get
+    empty data to exercise the fallback)."""
     d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    kg = F.transform(
+        F.sequence(F.lit(0), F.lit(2)),
+        lambda i: F.struct(
+            F.element_at(toks, i * 2 + 2).alias("predicate"),
+            F.element_at(toks, i * 2 + 3).alias("object"),
+        ),
+    )
+    empty = F.array().cast("array<struct<predicate:string,object:string>>")
+    data = F.when(F.col("doc_id") % 10 == 0, empty).otherwise(kg)
+    desc = F.aggregate(
+        data,
+        F.lit(""),
+        lambda acc, e: F.concat(
+            acc,
+            e["predicate"],
+            F.lit(":"),
+            e["object"],
+            F.when(e["object"].endswith("。"), F.lit("")).otherwise(F.lit("。")),
+        ),
+    )
+    fallback = F.concat(
+        F.lit("摘要，"), F.element_at(toks, 1), F.lit("无描述信息。")
+    )
     return (
-        d.where(F.col("doc_id") < 100)
-        .select("doc_id", F.locate("join", F.col("text")).alias("pos"))
+        d.where((F.col("doc_id") < 150) & (F.size(toks) >= 7))
+        .select(
+            "doc_id",
+            F.when(F.size(data) > 0, desc).otherwise(fallback).alias("description"),
+        )
         .orderBy("doc_id")
     )
 
 
 @query(
-    "a9_recall_at_k",
-    """SELECT round(avg(CASE WHEN label <= 1 THEN 1.0 ELSE 0.0 END), 4) AS recall_1,
-              round(avg(CASE WHEN label <= 4 THEN 1.0 ELSE 0.0 END), 4) AS recall_4,
-              round(avg(CASE WHEN label <= 8 THEN 1.0 ELSE 0.0 END), 4) AS recall_8
-       FROM embeddings""",
+    "f15_sentence_split",
+    """WITH p AS (SELECT doc_id,
+                         regexp_replace(text, ' (the|a) ', '. ', 'g') AS pt
+                  FROM documents WHERE doc_id < 100)
+       SELECT doc_id,
+              len(string_split(pt, '. ')) AS n_sentences,
+              string_split(pt, '. ')[1] AS sent_1,
+              string_split(pt, '. ')[2] AS sent_2,
+              string_split(pt, '. ')[3] AS sent_3
+       FROM p ORDER BY doc_id""",
 )
-def a9_recall_at_k(spark, sf_dir):
-    """A9: biencoder recall@k fractions (main_dense.py:455-475)."""
-    e = _t(spark, sf_dir, "embeddings")
-    return e.agg(
-        *[
-            F.round(F.avg((F.col("label") <= k).cast("double")), 4).alias(f"recall_{k}")
-            for k in (1, 4, 8)
-        ]
+def f15_sentence_split(spark, sf_dir):
+    """F15: deterministic sentence split + first-N sentences — the
+    sent_desc_1..10 column source (entity_candidate/utils.py:26-28,
+    process_intro_sents.py:46-64). The corpus has no punctuation, so a
+    deterministic boundary is injected first ('the/a' -> '. '), then the
+    split + first-3 projection runs in both engines. The general
+    punctuation splitter is functions/text.py:split_sentences (golden-
+    tested; same first-N semantics)."""
+    d = _t(spark, sf_dir, "documents")
+    pt = F.regexp_replace(F.col("text"), " (the|a) ", ". ")
+    sents = F.split(pt, r"\. ")
+    return (
+        d.where(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.size(sents).alias("n_sentences"),
+            F.try_element_at(sents, F.lit(1)).alias("sent_1"),
+            F.try_element_at(sents, F.lit(2)).alias("sent_2"),
+            F.try_element_at(sents, F.lit(3)).alias("sent_3"),
+        )
+        .orderBy("doc_id")
     )
 
 
 @query(
-    "w2_topk_collect_sorted",
+    "s1_s4_jsonl_bz2_scan",
+    """SELECT doc_id AS entity_id, 'doc' || CAST(doc_id AS VARCHAR) AS title,
+              substr(text, 1, 40) AS snippet
+       FROM documents WHERE doc_id < 150 ORDER BY entity_id""",
+)
+def s1_s4_jsonl_bz2_scan(spark, sf_dir):
+    """S1/S2 JSONL entity-catalogue scan + F10 curid parse
+    (main_dense.py:119-151) + S4 bz2-compressed dump scan
+    (process_wikidata.py:48-99) — one query: the fixture is the documents
+    table re-serialized as bz2 JSONL (codec handled transparently by
+    spark.read.json), so the oracle recomputes it from the parquet."""
+    import bz2
+    import json
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/el_fixtures/{base}/entities.jsonl.bz2"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        rows = (
+            _t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 150)
+            .select("doc_id", F.substring("text", 1, 40).alias("snippet"))
+            .collect()
+        )
+        with bz2.open(path + ".tmp", "wt", encoding="utf-8") as f:
+            for r in sorted(rows, key=lambda x: x["doc_id"]):
+                f.write(
+                    json.dumps(
+                        {
+                            "idx": f"https://en.wikipedia.org/wiki?curid={r['doc_id']}",
+                            "title": f"doc{r['doc_id']}",
+                            "text": r["snippet"],
+                        },
+                        ensure_ascii=False,
+                    )
+                    + "\n"
+                )
+        os.replace(path + ".tmp", path)
+    ents = spark.read.json(path)
+    return ents.select(
+        F.element_at(F.split("idx", "curid="), -1).cast("long").alias("entity_id"),
+        "title",
+        F.col("text").alias("snippet"),
+    ).orderBy("entity_id")
+
+
+@query(
+    "s5_tsv_scan",
+    """SELECT printf('doc%03d', i) AS doc_id,
+              'mention ' || CAST(i AS VARCHAR) AS mention,
+              CAST(i * 7 AS INT) AS "offset",
+              printf('e%05d', i % 10) AS kb_id
+       FROM range(50) t(i) ORDER BY doc_id""",
+)
+def s5_tsv_scan(spark, sf_dir):
+    """S5: TSV mention-file scan (candidate_retrieval/dataset.py:18-69
+    splits lines on tabs). The fixture content is formulaic, so the
+    oracle regenerates it from range(50)."""
+    import os
+
+    path = "/tmp/el_fixtures/static/mentions.tsv"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path + ".tmp", "w") as f:
+            for i in range(50):
+                f.write(f"doc{i:03d}\tmention {i}\t{i * 7}\te{i % 10:05d}\n")
+        os.replace(path + ".tmp", path)
+    df = spark.read.csv(
+        path,
+        sep="\t",
+        schema="doc_id string, mention string, offset int, kb_id string",
+    )
+    return df.orderBy("doc_id")
+
+
+@query(
+    "s10_jsonl_sink_roundtrip",
+    """SELECT doc_id, lang, n_chars FROM documents
+       WHERE doc_id < 100 ORDER BY doc_id""",
+)
+def s10_jsonl_sink_roundtrip(spark, sf_dir):
+    """S10: JSONL sink (write_dicts_as_json_per_line, utils.py:110-117) —
+    df.write.json out, read back, prove a lossless roundtrip against the
+    oracle reading the ORIGINAL parquet."""
+    import shutil
+
+    src = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .where(F.col("doc_id") < 100)
+    )
+    out = "/tmp/el_fixtures/docs_jsonl"
+    shutil.rmtree(out, ignore_errors=True)
+    src.write.json(out)
+    back = spark.read.json(out, schema="doc_id long, lang string, n_chars long")
+    return back.orderBy("doc_id")
+
+
+@query(
+    "dedup_minhash_pairs",
+    """WITH sh AS (
+         SELECT doc_id,
+                list_distinct(CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(1, len(t) - 2),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [array_to_string(t, ' ')] END) AS s
+         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+       SELECT a.doc_id AS url_a, b.doc_id AS url_b,
+              round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+       ORDER BY url_a, url_b""",
+)
+def dedup_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup with exact rescoring: band-join candidates
+    (never all-pairs), verify with EXACT 3-shingle Jaccard JVM-side —
+    oracle-checkable against DuckDB's all-pairs exact Jaccard because
+    32x2 banding misses a j>=0.7 pair with probability < 1e-9 (and the
+    corpus' planted near-dups sit at j~0.99)."""
+    from entity_linking_spark.operators import dedup
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    return (
+        dedup.minhash_near_dup_pairs(
+            base,
+            id_col="doc_id",
+            min_jaccard=0.7,
+            n_bands=32,
+            verify="exact",
+        )
+        .select(
+            F.col("url_a"), F.col("url_b"), F.col("jaccard")
+        )
+        .orderBy("url_a", "url_b")
+    )
+
+
+@query(
+    "w2_w3_rank_topk_collect",
     """WITH ranked AS (
          SELECT event_type, event_id,
                 rank() OVER (PARTITION BY event_type
@@ -926,9 +1361,10 @@ def a9_recall_at_k(spark, sf_dir):
               string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS top_ids
        FROM ranked WHERE rnk <= 3 GROUP BY event_type ORDER BY event_type""",
 )
-def w2_topk_collect_sorted(spark, sf_dir):
-    """W2: candidate list sorted + collected per group
-    (service_main.py:170, el_main.py:166-175 top-k cut)."""
+def w2_w3_rank_topk_collect(spark, sf_dir):
+    """W2 candidate list sorted + collected per group (service_main.py:
+    170, el_main.py:166-175 top-k cut) + W3 argsort-desc rank
+    (main_dense.py:282-284) — same rank() window feeds both."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(
         F.col("value").desc(), F.col("event_id")

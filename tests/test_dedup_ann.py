@@ -137,3 +137,52 @@ def test_lsh_recall_vs_bruteforce(spark):
         ap[r.query_id].add(r.neighbor_id)
     recalls = [len(ex[q] & ap[q]) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_exact_dedup_members_capped(spark):
+    rows = [Row(url=f"u{i:02d}", text="viral page") for i in range(10)]
+    rows.append(Row(url="zz", text="unique"))
+    df = spark.createDataFrame(rows)
+    out = {
+        r.keeper: (r.n_copies, r.members)
+        for r in dedup.exact_dedup(df, max_members=3).collect()
+    }
+    # true count preserved, members bounded at 3
+    assert out["u00"] == (10, ["u00", "u01", "u02"])
+    assert out["zz"] == (1, ["zz"])
+    # members=None drops the column (unbounded-safe full-corpus output)
+    no_members = dedup.exact_dedup(df, max_members=None)
+    assert "members" not in no_members.columns
+    assert {r.n_copies for r in no_members.collect()} == {10, 1}
+
+
+def test_minhash_exact_verify(spark):
+    base = [f"tok{i}" for i in range(60)]
+    var = list(base)
+    var[10] = "x"
+    far = [f"other{i}" for i in range(60)]
+    df = spark.createDataFrame(
+        [Row(url="a", tokens=base), Row(url="b", tokens=var), Row(url="c", tokens=far)]
+    )
+    pairs = dedup.minhash_near_dup_pairs(
+        df, min_jaccard=0.5, n_bands=32, verify="exact"
+    ).collect()
+    got = {(r.url_a, r.url_b): r.jaccard for r in pairs}
+    assert set(got) == {("a", "b")}
+    # exact 3-shingle jaccard: 58 shingles each, the changed token
+    # perturbs 3 -> 55 shared / 61 union
+    assert got[("a", "b")] == pytest.approx(55 / 61, abs=1e-4)
+
+
+def test_embedding_near_dup_bucket_cap(spark, corpus):
+    # with a tiny cap every bucket holding the near-dup family is dropped
+    pairs = dedup.embedding_near_dup_pairs(
+        corpus, min_cosine=0.98, n_planes=2, max_bucket_size=1
+    )
+    assert pairs.count() == 0
+    # with a sane cap the planted near-dups surface
+    pairs = dedup.embedding_near_dup_pairs(
+        corpus, min_cosine=0.98, n_planes=4, max_bucket_size=64
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 100) in got or (0, 101) in got
