@@ -79,12 +79,24 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, vertices: DataFrame, max_iterations: int = MAX_ITERATIONS
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_iterations: int = MAX_ITERATIONS,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(url, cluster_id) for every vertex; cluster_id = component min url.
 
     ``edges``: (url_a, url_b) match pairs. ``vertices``: (url) all docs —
     isolated docs become singleton clusters (cluster_id = own url).
+
+    ``checkpoint_dir``: when set, per-iteration lineage truncation uses
+    RELIABLE checkpoints (written to this fault-tolerant path via
+    sparkContext.setCheckpointDir) instead of localCheckpoint.
+    localCheckpoint stores blocks on executors — losing one executor
+    mid-fixpoint kills the job on a real cluster; reliable checkpoints
+    survive executor loss at the cost of a distributed-FS write per
+    iteration. Default None keeps the fast local path (single-JVM tests,
+    short fixpoints).
     """
     # run the star iterations on xxhash64 vertex ids: 8-byte keys shuffle
     # ~5x less than url strings and compare faster. cluster_id = min(url)
@@ -102,14 +114,21 @@ def connected_components(
     if e.isEmpty():
         return vertices.select("url", F.col("url").alias("cluster_id"))
 
-    e = e.localCheckpoint(eager=True)
+    if checkpoint_dir is not None:
+        spark = edges.sparkSession
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        _ckpt = lambda df: df.checkpoint(eager=False)  # noqa: E731
+    else:
+        _ckpt = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
+
+    e = e.localCheckpoint(eager=True) if checkpoint_dir is None else e.checkpoint()
     prev_sig = None
     for _ in range(max_iterations):
         e = _large_star(e)
         e = _small_star(e)
         # lazy checkpoint: the signature action right after materializes
         # it — one Spark job per iteration instead of two
-        e = e.localCheckpoint(eager=False)
+        e = _ckpt(e)
         sig = _signature(e)
         if sig == prev_sig:
             break

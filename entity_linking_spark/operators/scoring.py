@@ -15,7 +15,9 @@ Arrow-batched pandas UDFs:
   cos_score   cosine of deterministic hash-embeddings of the full text
               (bi-encoder stand-in, SURVEY §2.10) — catches near-dup
               pages whose alias evidence was mangled.
-  name_score  max Jaro-Winkler over the docs' mention strings.
+  name_score  0.5*Jaro-Winkler + 0.5*normalized-Levenshtein over the
+              docs' representative mention strings (the north rule's
+              Jaro-Winkler + Levenshtein + cosine blend).
 
   fused = max(ent_score, cos when cos >= dup_threshold, ...) — see
   ``score_pairs``. A pair is an edge when fused >= threshold.
@@ -36,7 +38,7 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, StructField, StructType
 
-from entity_linking_spark.functions.strings import jaro_winkler
+from entity_linking_spark.functions.strings import jaro_winkler, levenshtein_sim
 from entity_linking_spark.functions.vectors import hash_embed_udf
 
 _PAIR_SCORES_T = StructType(
@@ -67,9 +69,15 @@ def _pair_scores_udf(
         cos[np.flatnonzero(mask.to_numpy())] = (
             np.einsum("ij,ij->i", ma, mb) / (na * nb)
         )
+    # name similarity = mean of Jaro-Winkler and normalized Levenshtein —
+    # the north rule's named blend. JW rewards shared prefixes (title
+    # variants), Levenshtein penalizes mid-string edits JW forgives; both
+    # are 1.0 on equal mentions so exact alias matches keep full weight.
     name = np.fromiter(
         (
-            jaro_winkler(x, y) if isinstance(x, str) and isinstance(y, str) else 0.0
+            0.5 * jaro_winkler(x, y) + 0.5 * levenshtein_sim(x, y)
+            if isinstance(x, str) and isinstance(y, str)
+            else 0.0
             for x, y in zip(m_a, m_b)
         ),
         dtype=np.float64,

@@ -49,9 +49,27 @@ def run_pipeline(
         par = spark.sparkContext.defaultParallelism
         return extract.extract_and_tokenize(documents.repartition(par))
 
+    # the alias-dictionary collect only depends on the INPUT aliases table,
+    # not on s1 — submit it from a second thread so the (serial,
+    # latency-bound) broadcast prep overlaps the extract stage instead of
+    # sitting between s1 and s2 on the critical path. Spark schedules jobs
+    # from concurrent driver threads independently (FIFO pools).
+    import threading
+
+    alias_box: dict[str, list[str]] = {}
+
+    def _collect_aliases() -> None:
+        alias_box["list"] = [
+            r["alias"] for r in aliases.select("alias").distinct().collect()
+        ]
+
+    alias_thread = threading.Thread(target=_collect_aliases, daemon=True)
+    alias_thread.start()
+
     docs = io.run_stage(spark, workdir, "s1_extract", _extract, force)
 
-    alias_list = [r["alias"] for r in aliases.select("alias").distinct().collect()]
+    alias_thread.join()
+    alias_list = alias_box["list"]
 
     def _mentions() -> DataFrame:
         return blocking.detect_mentions(docs, alias_list, tokens_col="tokens")

@@ -63,3 +63,25 @@ def test_expected_clusters_match(spark, fixtures, workdir):
     expected = fixtures["expected_clusters"]
     diff = clusters.exceptAll(expected).count() + expected.exceptAll(clusters).count()
     assert diff == 0
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir flag: reliable per-iteration checkpoints (survives
+    executor loss on a real cluster) produce identical clusters."""
+    from pyspark.sql import Row
+
+    from entity_linking_spark.operators.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [Row(url_a="a", url_b="b"), Row(url_a="b", url_b="c"),
+         Row(url_a="x", url_b="y")]
+    )
+    verts = spark.createDataFrame([Row(url=u) for u in "abcxyz"])
+    ckdir = str(tmp_path / "cc_ckpt")
+    out = {
+        r.url: r.cluster_id
+        for r in connected_components(edges, verts, checkpoint_dir=ckdir).collect()
+    }
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
+    import os
+    assert os.listdir(ckdir), "reliable checkpoint dir must contain RDD data"
