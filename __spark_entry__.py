@@ -95,7 +95,10 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann.lsh_topk(emb, queries_df, k=5)
+    # planes sized to corpus density: ~log2(n/32) (500-50k vecs -> 4-10)
+    n = emb.count()
+    n_planes = max(2, min(16, (max(n, 64) // 32).bit_length()))
+    return ann.lsh_topk(emb, queries_df, k=5, n_planes=n_planes)
 
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

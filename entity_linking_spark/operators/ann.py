@@ -61,17 +61,27 @@ def make_bucket_udf(n_planes: int = N_PLANES):
 hyperplane_bucket_udf = make_bucket_udf(N_PLANES)
 
 
-@pandas_udf(ArrayType(IntegerType()))
-def hyperplane_multiprobe_udf(vecs: pd.Series) -> pd.Series:
-    """Bucket + its N_PLANES single-bit-flip neighbors (multi-probe LSH:
-    recovers neighbors that fall just across one hyperplane)."""
-    mat = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
-    signs = (mat @ _planes(mat.shape[1]).T) > 0
-    weights = (1 << np.arange(N_PLANES)).astype(np.int64)
-    base = (signs @ weights).astype(np.int64)
-    flips = base[:, None] ^ weights[None, :]  # [n, planes]
-    out = np.concatenate([base[:, None], flips], axis=1).astype(np.int32)
-    return pd.Series(list(out))
+def make_multiprobe_udf(n_planes: int = N_PLANES):
+    """Factory: bucket + its n_planes single-bit-flip neighbors
+    (multi-probe LSH: recovers neighbors that fall just across one
+    hyperplane). Parametrized with the matching bucket width — fewer
+    planes = bigger buckets = higher recall at more candidates/query;
+    size to corpus density (≈ log2(corpus/target_bucket_size) planes)."""
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def multiprobe_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
+        signs = (mat @ _planes(mat.shape[1], n_planes).T) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        base = (signs @ weights).astype(np.int64)
+        flips = base[:, None] ^ weights[None, :]  # [n, planes]
+        out = np.concatenate([base[:, None], flips], axis=1).astype(np.int32)
+        return pd.Series(list(out))
+
+    return multiprobe_udf
+
+
+hyperplane_multiprobe_udf = make_multiprobe_udf(N_PLANES)
 
 
 def brute_force_topk(
@@ -131,21 +141,28 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """LSH-bucketed ANN: corpus bucketed once (single bucket), queries
     multi-probe their bucket + 1-bit neighbors; exact cosine inside
-    matched buckets; per-query top-k."""
+    matched buckets; per-query top-k.
+
+    ``n_planes`` sizes the bucket count (2^n_planes) to the corpus:
+    target n_planes ≈ log2(|corpus| / desired_bucket_size); a fixed
+    width is recall-fragile as corpus density varies."""
     from entity_linking_spark.functions.vectors import cosine_udf
 
+    bucket_udf = make_bucket_udf(n_planes)
+    probe_udf = make_multiprobe_udf(n_planes)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        hyperplane_bucket_udf(F.col(vec_col)).alias("bucket"),
+        bucket_udf(F.col(vec_col)).alias("bucket"),
     )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("qvec"),
-        F.explode(hyperplane_multiprobe_udf(F.col(vec_col))).alias("bucket"),
+        F.explode(probe_udf(F.col(vec_col))).alias("bucket"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
