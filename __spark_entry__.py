@@ -34,23 +34,25 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def _doc_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.9) -> DataFrame:
-    """Near-dup document clustering over the driver corpus: tokenize ->
-    MinHash-LSH band blocking -> exact cosine rescoring -> connected
-    components. The flagship linkage slice on generic testdata."""
-    from entity_linking_spark.functions.normalize import tokenize_udf
-    from entity_linking_spark.functions.vectors import cosine_udf, hash_embed_udf
-    from entity_linking_spark.operators import blocking, cluster
+    """Near-dup document clustering over the driver corpus: fused
+    tokenize/bands/embedding (ONE Python pass) -> MinHash-LSH band
+    blocking -> exact cosine rescoring -> connected components. The
+    flagship linkage slice on generic testdata."""
+    from entity_linking_spark.functions.vectors import cosine_udf
+    from entity_linking_spark.operators import blocking, cluster, extract
 
-    docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select(F.col("doc_id").cast("string").alias("url"), "text")
-        .withColumn("tokens", tokenize_udf(F.col("text")))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
     )
+    # feats feeds three consumers (blocking keys + both sides of the
+    # embedding join): persist so the fused Python pass runs once, not 3x
+    # (the pipeline's checkpointed stages play this role at full scale)
+    feats = extract.tokenize_and_featurize(docs).persist()
     keys = blocking.blocking_keys(
-        docs, candidates=None, use_host=False, use_entity=False, use_minhash=True
+        feats, candidates=None, use_host=False, use_entity=False, use_minhash=True
     )
     pairs = blocking.candidate_pairs(keys, max_block_size=64)
-    emb = docs.select("url", hash_embed_udf("tokens").alias("vec"))
+    emb = feats.select("url", "vec")
     ea = emb.select(F.col("url").alias("url_a"), F.col("vec").alias("vec_a"))
     eb = emb.select(F.col("url").alias("url_b"), F.col("vec").alias("vec_b"))
     edges = (

@@ -140,3 +140,45 @@ def extract_and_tokenize(
             yield out
 
     return df.select(*keep_cols, html_col).mapInPandas(run, schema=out_schema)
+
+
+def tokenize_and_featurize(
+    df: DataFrame, text_col: str = "text", id_col: str = "url"
+) -> DataFrame:
+    """Fused tokenize + MinHash bands + hash-embedding for ALREADY-extracted
+    text (the no-html sibling of extract_and_tokenize — same rationale:
+    tokens cross JVM<->Python once, every per-doc feature is computed while
+    they're in Python memory)."""
+    from entity_linking_spark.functions.minhash import band_hashes, minhash_signature
+    from entity_linking_spark.functions.normalize import basic_tokenize
+    from entity_linking_spark.functions.vectors import hash_embed_matrix
+
+    out_schema = StructType(
+        [
+            StructField(id_col, StringType(), True),
+            StructField("tokens", ArrayType(StringType()), True),
+            StructField("bands", ArrayType(LongType()), True),
+            StructField("vec", ArrayType(FloatType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            token_lists = [
+                basic_tokenize(t) if t is not None else None for t in pdf[text_col]
+            ]
+            bands = [
+                band_hashes(minhash_signature(t)) if t is not None else None
+                for t in token_lists
+            ]
+            emb = hash_embed_matrix([t or [] for t in token_lists])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "tokens": token_lists,
+                    "bands": bands,
+                    "vec": list(emb),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
