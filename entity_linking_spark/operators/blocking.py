@@ -276,9 +276,17 @@ def candidate_pairs(
     # strategy AQE could flip to a multi-million-row broadcast. The
     # self-join below then reuses the same hashpartitioning(key) on both
     # sides — no further exchange before the pair filter.
+    #
+    # The string key (host:/ent:/mh:band:hash, ~25-45 bytes) is folded to
+    # xxhash64 FIRST: the window and self-join then shuffle 8-byte longs
+    # (~4x less key traffic; shuffle bandwidth is the scaling ceiling of
+    # this stage). A 64-bit collision would merge two unrelated blocks —
+    # blocking is a candidate generator, so the extra pairs are filtered
+    # by exact scoring downstream, same as any other block co-occurrence.
     w = Window.partitionBy("key")
     kept = (
-        keys.withColumn("block_size", F.count("*").over(w))
+        keys.select(F.xxhash64("key").alias("key"), "url")
+        .withColumn("block_size", F.count("*").over(w))
         .where(F.col("block_size") <= max_block_size)
         .select("key", "url")
     )

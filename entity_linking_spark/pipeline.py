@@ -42,12 +42,18 @@ def run_pipeline(
     """Full linkage run; returns (url, cluster_id). Checkpoints each stage."""
 
     def _extract() -> DataFrame:
-        # spread the corpus across all cores before the Python stage;
-        # a small parquet input may arrive as 1-2 splits. Extraction and
-        # tokenization are FUSED into one mapInPandas (html never crosses
-        # JVM<->Python twice — see extract.extract_and_tokenize).
+        # spread the corpus across all cores before the Python stage —
+        # but ONLY when the scan yields fewer splits than cores (a small
+        # parquet input may arrive as 1-2 splits); when the scan already
+        # parallelizes, an unconditional repartition would shuffle the
+        # whole html corpus for nothing. Extraction and tokenization are
+        # FUSED into one mapInPandas (html never crosses JVM<->Python
+        # twice — see extract.extract_and_tokenize).
         par = spark.sparkContext.defaultParallelism
-        return extract.extract_and_tokenize(documents.repartition(par))
+        src = documents
+        if documents.rdd.getNumPartitions() < par:
+            src = documents.repartition(par)
+        return extract.extract_and_tokenize(src)
 
     # the alias-dictionary collect only depends on the INPUT aliases table,
     # not on s1 — submit it from a second thread so the (serial,
