@@ -74,6 +74,70 @@ def run_stream_to_memory(
     )
 
 
+def streaming_dedup_first_seen(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+) -> DataFrame:
+    """Stateful streaming exact-dedup: keep only the FIRST document seen
+    per content hash across all micro-batches.
+
+    Custom stateful operator via applyInPandasWithState: state per
+    content-hash group is a single boolean ("seen"); a group's first
+    arrival is emitted with n_prior_dupes=0, later arrivals are dropped
+    and counted. This is the streaming face of operators/dedup.exact_dedup
+    (training-data pipeline op): at 100 TB-ingest scale the state store
+    holds one tiny record per distinct content hash, partitioned by the
+    shuffle on the hash key — no global structure, no driver state.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("content_hash", StringType()),
+            StructField(id_col, StringType()),
+            StructField("n_prior_dupes", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("n_seen", LongType())])
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        n_seen = state.get[0] if state.exists else 0
+        first_id = None
+        for pdf in pdf_iter:
+            if n_seen == 0 and len(pdf) > 0 and first_id is None:
+                ordered = pdf.sort_values(id_col)
+                first_id = ordered[id_col].iloc[0]
+            n_seen += len(pdf)
+        state.update((n_seen,))
+        if first_id is not None:
+            yield pd.DataFrame(
+                {
+                    "content_hash": [key[0]],
+                    id_col: [first_id],
+                    "n_prior_dupes": [0],
+                }
+            )
+
+    hashed = docs_stream.select(
+        F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col)
+    )
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_link_microbatch(
     spark: SparkSession,
     new_docs_stream: DataFrame,

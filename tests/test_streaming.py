@@ -85,3 +85,43 @@ def test_foreachbatch_incremental_linkage(spark, tmp_path):
         for r in batch_cands.select("url", "mention", "subject_id").collect()
     }
     assert stream_set == batch_set
+
+
+def test_streaming_dedup_first_seen(spark, tmp_path):
+    """Stateful streaming exact-dedup: only the first doc per content
+    hash survives, across micro-batches (applyInPandasWithState)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from entity_linking_spark.streaming import jobs
+
+    src = str(tmp_path / "stream_src")
+    # two files -> maxFilesPerTrigger=1 gives two micro-batches; the dup
+    # of "same one" arrives in the SECOND batch so state must carry over
+    spark.createDataFrame(
+        pd.DataFrame({"url": ["u1", "u2"], "text": ["same one", "other"]})
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        pd.DataFrame({"url": ["u3"], "text": ["same one"]})
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema("url string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        jobs.streaming_dedup_first_seen(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dedup_stream").collect()
+    by_url = {r.url for r in rows}
+    # exactly one survivor per distinct text; u3's content was seen before
+    assert len(rows) == 2
+    assert "u2" in by_url
+    assert by_url & {"u1", "u3"} and not {"u1", "u3"} <= by_url
