@@ -104,8 +104,24 @@ def entity_support(candidates: DataFrame) -> DataFrame:
 def doc_features(
     docs_tokens: DataFrame, candidates: DataFrame
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(supports, embeddings, top mention) per url — pruned feature tables."""
-    supports = entity_support(candidates)
+    """(supports, embeddings, top mention) per url — pruned feature tables.
+
+    ``supports`` carries each doc's candidate-entity evidence as a MAP
+    column (subject_id -> support). Candidate fan-out per doc is already
+    bounded upstream (ambiguity cap at the alias join), so the map is a
+    handful of entries — and shipping it once per pair side lets
+    score_pairs compute shared-entity evidence with a JVM map
+    intersection instead of an extra pair-table join + re-aggregation
+    (two full exchanges of the pair table saved)."""
+    supports = (
+        entity_support(candidates)
+        .groupBy("url")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("subject_id", "support"))
+            ).alias("smap")
+        )
+    )
     if "vec" in docs_tokens.columns:  # fused s1 already embedded each doc
         embeddings = docs_tokens.select("url", "vec")
     else:
@@ -145,56 +161,57 @@ def score_pairs(
     per-key fan-out and AQE skew-join splits the residue, so salting is
     only worth its replication cost under extreme residual skew.
     """
-    sa = supports.select(
-        F.col("url").alias("url_a"),
-        F.col("subject_id"),
-        F.col("support").alias("support_a"),
+    # merge ALL per-url features once (small joins on the 1:1 url key), so
+    # the big pair table is joined exactly twice (a-side, b-side). The
+    # shared-entity evidence is a JVM map intersection over the two
+    # support maps — the round-1 design joined the pair table to an
+    # exploded supports table and re-aggregated, costing two more full
+    # exchanges of the pair table.
+    per_url = embeddings.join(top_mention.hint("shuffle_hash"), "url", "left").join(
+        supports.hint("shuffle_hash"), "url", "left"
     )
-    sb = supports.select(
-        F.col("url").alias("url_b"),
-        F.col("subject_id"),
-        F.col("support").alias("support_b"),
-    )
-    # shared-entity evidence: join pair->A-supports->B-supports on entity.
-    # shuffle_hash hints: the per-url feature tables are uniformly keyed
-    # and modest per partition — hash join skips the SMJ sort of the big
-    # pair table at every hop.
-    ent = (
-        pairs.join(sa.hint("shuffle_hash"), "url_a")
-        .join(sb.hint("shuffle_hash"), ["url_b", "subject_id"])
-        .groupBy("url_a", "url_b")
-        .agg(F.max(F.least("support_a", "support_b")).alias("ent_score"))
-    )
-    # merge the per-url features once (small join on the 1:1 url key), so
-    # the big pair table is joined only twice (a-side, b-side) instead of
-    # four times — each avoided join is a full exchange of the pair table
-    per_url = embeddings.join(top_mention, "url", "left")
     fa = per_url.select(
         F.col("url").alias("url_a"), F.col("vec").alias("vec_a"),
-        F.col("mention").alias("m_a"),
+        F.col("mention").alias("m_a"), F.col("smap").alias("smap_a"),
     )
     fb = per_url.select(
         F.col("url").alias("url_b"), F.col("vec").alias("vec_b"),
-        F.col("mention").alias("m_b"),
+        F.col("mention").alias("m_b"), F.col("smap").alias("smap_b"),
     )
 
     if salt_factor:
         from entity_linking_spark.operators.skew import salted_join
 
-        with_ent = pairs.join(ent.hint("shuffle_hash"), ["url_a", "url_b"], "left")
         feat = salted_join(
             salted_join(
-                with_ent, fa, "url_a", salt_cols=["url_b"], n_salts=salt_factor,
+                pairs, fa, "url_a", salt_cols=["url_b"], n_salts=salt_factor,
                 how="left",
             ),
             fb, "url_b", salt_cols=["url_a"], n_salts=salt_factor, how="left",
         )
     else:
         feat = (
-            pairs.join(ent.hint("shuffle_hash"), ["url_a", "url_b"], "left")
-            .join(fa.hint("shuffle_hash"), "url_a", "left")
+            pairs.join(fa.hint("shuffle_hash"), "url_a", "left")
             .join(fb.hint("shuffle_hash"), "url_b", "left")
         )
+
+    # ent_score = max over shared candidate entities of min(support_a,
+    # support_b) — pure Column expressions (map_filter + try_element_at),
+    # whole-stage codegen, no shuffle.
+    shared = F.map_filter(
+        F.col("smap_a"), lambda k, v: F.map_contains_key(F.col("smap_b"), k)
+    )
+    ent_expr = F.array_max(
+        F.transform(
+            F.map_entries(shared),
+            lambda e: F.least(e["value"], F.try_element_at(F.col("smap_b"), e["key"])),
+        )
+    )
+    ent_score = F.when(
+        F.col("smap_a").isNotNull() & F.col("smap_b").isNotNull(),
+        F.coalesce(ent_expr, F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
+    feat = feat.withColumn("ent_score", ent_score)
     # name similarity = mean of Jaro-Winkler and normalized Levenshtein —
     # the specified blend. JW rewards shared prefixes (title variants),
     # Levenshtein penalizes mid-string edits JW forgives; both are 1.0 on
@@ -208,7 +225,6 @@ def score_pairs(
     ).otherwise(F.lit(0.0))
     feat = (
         feat
-        .withColumn("ent_score", F.coalesce("ent_score", F.lit(0.0)))
         .withColumn("_ps", _pair_scores_udf("vec_a", "vec_b", "m_a", "m_b"))
         .withColumn("cos_score", F.col("_ps.cos"))
         .withColumn("name_score", 0.5 * F.col("_ps.name") + 0.5 * lev_sim)
