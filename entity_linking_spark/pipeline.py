@@ -7,7 +7,8 @@ Stage inventory and their shuffle profile:
   mentions  narrow dictionary UDTF                       no shuffle
   blocking  key explode + stop-key cap                   1 shuffle (groupBy key)
   pairs     within-block self-join + distinct            1-2 shuffles
-  scoring   3 hash joins pair->features                  shuffles on url (uniform)
+  scoring   2 hash joins pair->features (ent evidence    shuffles on url (uniform)
+            is a JVM map intersection, not a join)
   cluster   large-star/small-star to fixpoint            2 shuffles/round, O(log n) rounds
 
 Run as a job:  python -m entity_linking_spark.pipeline --workdir /tmp/el \

@@ -44,6 +44,23 @@ def prep_input(n_docs: int, base: str) -> tuple[str, str]:
 def run_at(cores: int, docs_path: str, aliases_path: str, base: str) -> dict:
     workdir = f"{base}/run_c{cores}"
     shutil.rmtree(workdir, ignore_errors=True)
+    # Model an N-core executor HONESTLY: without these pins the local[N]
+    # JVM still spawns 32 GC/JIT/netty threads and numpy's BLAS opens 32
+    # threads inside every Python worker — the "1-core" run secretly uses
+    # the whole box, inflating the baseline and suppressing measured
+    # scaling efficiency below its value on real N-core executors.
+    # ActiveProcessorCount pins the JVM's processor view (GC threads,
+    # compiler threads, common pools); the BLAS pins keep each Python
+    # worker single-threaded (a real executor runs one core per task).
+    env = dict(os.environ)
+    env.update(
+        {
+            "SPARK_GC_OPTS": f"-XX:ActiveProcessorCount={cores}",
+            "OMP_NUM_THREADS": "1",
+            "OPENBLAS_NUM_THREADS": "1",
+            "MKL_NUM_THREADS": "1",
+        }
+    )
     cmd = [
         sys.executable,
         "-m",
@@ -58,7 +75,7 @@ def run_at(cores: int, docs_path: str, aliases_path: str, base: str) -> dict:
         str(cores),
     ]
     out = subprocess.run(
-        cmd, cwd=REPO, capture_output=True, text=True, timeout=3600
+        cmd, cwd=REPO, capture_output=True, text=True, timeout=3600, env=env
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
