@@ -56,6 +56,9 @@ def run_at(cores: int, docs_path: str, aliases_path: str, base: str) -> dict:
     env.update(
         {
             "SPARK_GC_OPTS": f"-XX:ActiveProcessorCount={cores}",
+            # per-core memory constant (4N executors bring 4x memory):
+            # an N-core "executor" gets N x 12g, not the whole box's heap
+            "SPARK_DRIVER_MEMORY": f"{12 * cores}g",
             "OMP_NUM_THREADS": "1",
             "OPENBLAS_NUM_THREADS": "1",
             "MKL_NUM_THREADS": "1",
