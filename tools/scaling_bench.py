@@ -76,6 +76,10 @@ def run_at(cores: int, docs_path: str, aliases_path: str, base: str) -> dict:
         aliases_path,
         "--cores",
         str(cores),
+        # benchmark integrity: NEVER resume from a leftover checkpoint of
+        # an earlier (possibly killed) run — a partially-complete workdir
+        # would report a fraction of the pipeline as the full runtime
+        "--force",
     ]
     out = subprocess.run(
         cmd, cwd=REPO, capture_output=True, text=True, timeout=3600, env=env
