@@ -63,10 +63,12 @@ def _doc_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.9) -> D
         .select("url_a", "url_b")
     )
     clusters = cluster.connected_components(edges, docs.select("url"))
+    # no final orderBy: the driver canonicalizes row order itself, and a
+    # global sort here would be a wasted full exchange at corpus scale
     return clusters.select(
         F.col("url").cast("long").alias("doc_id"),
         F.col("cluster_id").alias("cluster_key"),
-    ).orderBy("doc_id")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -126,8 +128,17 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in range(20)
     ]
+    # the driver canonicalizer sorts column values in pandas — a raw
+    # array<float> cell is unhashable there, so serialize features to the
+    # repo's joined-string array convention (plans/queries.py docstring)
+    feats_csv = F.when(
+        F.col("features").isNotNull(),
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.format_string("%.6f", x))
+        ),
+    )
     return mm.with_media_features(spark.createDataFrame(rows)).select(
-        "media_id", "kind", "features", "decode_error"
+        "media_id", "kind", feats_csv.alias("features"), "decode_error"
     )
 
 

@@ -56,16 +56,22 @@ def _splitmix64(z: np.ndarray) -> np.ndarray:
 def shingle_hashes(tokens: list[str], k: int = SHINGLE_K) -> np.ndarray:
     """Distinct k-shingle hashes of a token list, 64-bit.
 
-    Two independently-salted crc32s are concatenated into one uint64 so the
-    shingle space is 2^64 — a plain 32-bit space would collide visibly at
-    10^12-document corpus scale and inflate estimated Jaccard.
+    Two genuinely independent crc32s (forward bytes vs reversed bytes +
+    terminator — distinct inputs, not just distinct seeds) fill the high
+    and low words. A seeded-crc32 low word would NOT work: CRC32 is affine
+    in its seed, so for equal-length inputs crc32(b, salt) ==
+    crc32(b) ^ C(len) and the effective entropy collapses to ~32 bits per
+    length class — same-length shingles would collide at the 32-bit
+    birthday rate, inflating estimated Jaccard at 10^12-doc scale.
+    Reversal breaks that affinity: the two words come from different byte
+    streams, giving a true 2^64 shingle space.
     """
     if len(tokens) < k:
         joined = [" ".join(tokens)] if tokens else []
     else:
         joined = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
     hs = {
-        (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9747B28C)
+        (zlib.crc32(b) << 32) | zlib.crc32(b[::-1] + b"\x01")
         for b in (s.encode("utf-8") for s in joined)
     }
     return np.fromiter(hs, dtype=np.uint64, count=len(hs))
@@ -114,9 +120,14 @@ minhash_bands_udf = make_bands_udf(N_BANDS)
 
 @pandas_udf(ArrayType(LongType()))
 def minhash_signature_udf(tokens: pd.Series) -> pd.Series:
-    """Full 64-perm signature (for exact MinHash-Jaccard estimation)."""
+    """Full 64-perm signature (for exact MinHash-Jaccard estimation).
+
+    uint64 -> int64 goes through a two's-complement .view, NOT int(np.int64(x)):
+    numpy >= 2.0 raises OverflowError converting uint64 values >= 2^63 (half
+    of all splitmix64 outputs, and the empty-doc sentinel).
+    """
     return tokens.map(
-        lambda t: [int(np.int64(x)) for x in minhash_signature(list(t))]
+        lambda t: minhash_signature(list(t)).view(np.int64).tolist()
         if t is not None
         else None
     )

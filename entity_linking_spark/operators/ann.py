@@ -186,27 +186,33 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    sample_mod: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN: deterministic centroids (hash-seeded corpus sample,
+    """IVF-style ANN: deterministic centroids (bottom-k-by-hash sample,
     one k-means sweep), corpus assigned to nearest cell, queries probe
-    n_probe cells, exact rescoring within."""
+    n_probe cells, exact rescoring within.
+
+    ``sample_mod``: hash-modulus pre-filter for the centroid sample. At
+    web scale (>=10^10 rows) set e.g. 1<<20 so the bottom-k heap scans
+    ~corpus/sample_mod rows instead of everything; default 1 (no filter)
+    is right for anything that fits a normal scan.
+    """
     from entity_linking_spark.functions.vectors import cosine_udf
 
-    # Deterministic centroid init via HASH SAMPLING — never a global sort.
-    # pmod(xxhash64(id), B) == 0 keeps ~1/B of rows with only a scan +
-    # filter (pushdown-friendly); a sort-then-limit over the corpus would
-    # shuffle 100 TB to pick a few hundred rows. The modulus is widened
-    # until the sample is large enough (tiny test corpora).
+    # Deterministic centroid init via BOTTOM-K-BY-HASH — exactly ONE job,
+    # no corpus.count() pre-action, never a full sort. orderBy(limit)
+    # compiles to TakeOrderedAndProject: a per-partition heap of `target`
+    # rows plus one merge task, so the exchange carries target rows per
+    # partition, not the corpus. Selection is by xxhash64 order, so the
+    # sample is independent of partitioning (FIXTURES.md determinism).
     target = n_cells * 32
-    n_rows = corpus.count()
-    bucket_mod = max(1, int(n_rows // max(target, 1)))
-    sample_rows = (
-        corpus.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(bucket_mod)) == 0)
-        .select(id_col, vec_col)
-        .limit(target)
-        .collect()
+    s = corpus.select(id_col, vec_col).withColumn(
+        "_h", F.xxhash64(F.col(id_col))
     )
-    sample_rows.sort(key=lambda r: r[0])  # seed order independent of partitioning
+    if sample_mod > 1:
+        s = s.where(F.pmod(F.col("_h"), F.lit(sample_mod)) == 0)
+    sample_rows = s.orderBy("_h").limit(target).drop("_h").collect()
+    sample_rows.sort(key=lambda r: r[0])  # seed order independent of plan
     smat = np.stack([np.asarray(r[1], dtype=np.float32) for r in sample_rows])
     cents = smat[: min(n_cells, len(smat))].copy()
     if len(cents) < n_cells:

@@ -97,6 +97,14 @@ def connected_components(
     survive executor loss at the cost of a distributed-FS write per
     iteration. Default None keeps the fast local path (single-JVM tests,
     short fixpoints).
+
+    Side effects of checkpoint_dir: sparkContext.setCheckpointDir is
+    GLOBAL session state — concurrent jobs in the same session will also
+    checkpoint there. Old per-iteration snapshots are garbage-collected
+    only because the session factory sets
+    spark.cleaner.referenceTracking.cleanCheckpoints=true (session.py);
+    with a foreign session, either set that conf or clean the directory
+    after the job.
     """
     # run the star iterations on xxhash64 vertex ids: 8-byte keys shuffle
     # ~5x less than url strings and compare faster. cluster_id = min(url)

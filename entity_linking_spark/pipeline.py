@@ -63,12 +63,15 @@ def run_pipeline(
     # from concurrent driver threads independently (FIFO pools).
     import threading
 
-    alias_box: dict[str, list[str]] = {}
+    alias_box: dict[str, object] = {}
 
     def _collect_aliases() -> None:
-        alias_box["list"] = [
-            r["alias"] for r in aliases.select("alias").distinct().collect()
-        ]
+        try:
+            alias_box["list"] = [
+                r["alias"] for r in aliases.select("alias").distinct().collect()
+            ]
+        except BaseException as e:  # noqa: BLE001 — re-raised on the main thread
+            alias_box["err"] = e
 
     alias_thread = threading.Thread(target=_collect_aliases, daemon=True)
     alias_thread.start()
@@ -76,6 +79,8 @@ def run_pipeline(
     docs = io.run_stage(spark, workdir, "s1_extract", _extract, force)
 
     alias_thread.join()
+    if "err" in alias_box:
+        raise alias_box["err"]
     alias_list = alias_box["list"]
 
     def _mentions() -> DataFrame:

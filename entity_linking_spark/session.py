@@ -52,6 +52,11 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             os.environ.get("SPARK_GC_OPTS", ""),
         )
+        # reliable checkpoints (cluster.connected_components with a
+        # checkpoint_dir) are one-per-iteration edge snapshots; without
+        # this flag Spark never deletes them and a long fixpoint
+        # accumulates O(iterations) full copies on the distributed FS
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
     )
     if "spark.master" not in os.environ.get("SPARK_CONF", ""):

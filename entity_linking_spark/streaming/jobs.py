@@ -83,9 +83,10 @@ def streaming_dedup_first_seen(
     per content hash across all micro-batches.
 
     Custom stateful operator via applyInPandasWithState: state per
-    content-hash group is a single boolean ("seen"); a group's first
-    arrival is emitted with n_prior_dupes=0, later arrivals are dropped
-    and counted. This is the streaming face of operators/dedup.exact_dedup
+    content-hash group is a running count; a group's first arrival is
+    emitted (keeper = min id across every Arrow chunk of the micro-batch)
+    with the in-batch duplicate count, later arrivals are dropped and
+    counted in state. This is the streaming face of operators/dedup.exact_dedup
     (training-data pipeline op): at 100 TB-ingest scale the state store
     holds one tiny record per distinct content hash, partitioned by the
     shuffle on the hash key — no global structure, no driver state.
@@ -103,26 +104,34 @@ def streaming_dedup_first_seen(
         [
             StructField("content_hash", StringType()),
             StructField(id_col, StringType()),
-            StructField("n_prior_dupes", LongType()),
+            StructField("n_batch_dupes", LongType()),
         ]
     )
     state_schema = StructType([StructField("n_seen", LongType())])
 
     def dedup_fn(key, pdf_iter, state: GroupState):
-        n_seen = state.get[0] if state.exists else 0
+        # a group bigger than the Arrow batch cap spans multiple chunks —
+        # the keeper must be min(id) over ALL chunks, not just the first
+        n_prior = state.get[0] if state.exists else 0
         first_id = None
+        n_this_batch = 0
         for pdf in pdf_iter:
-            if n_seen == 0 and len(pdf) > 0 and first_id is None:
-                ordered = pdf.sort_values(id_col)
-                first_id = ordered[id_col].iloc[0]
-            n_seen += len(pdf)
-        state.update((n_seen,))
+            if len(pdf) == 0:
+                continue
+            n_this_batch += len(pdf)
+            if n_prior == 0:
+                chunk_min = pdf[id_col].min()
+                if first_id is None or chunk_min < first_id:
+                    first_id = chunk_min
+        state.update((n_prior + n_this_batch,))
         if first_id is not None:
+            # n_batch_dupes: duplicates of the keeper within this first
+            # micro-batch (later-batch dupes are counted in state only)
             yield pd.DataFrame(
                 {
                     "content_hash": [key[0]],
                     id_col: [first_id],
-                    "n_prior_dupes": [0],
+                    "n_batch_dupes": [n_this_batch - 1],
                 }
             )
 
