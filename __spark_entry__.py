@@ -152,20 +152,78 @@ def _rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Oracle-backed operator queries first (plans/queries.py), then the
-    six rows-only custom vectorized operators."""
+    """Oracle-backed operator queries first (plans/queries.py + the
+    flagship and rolling-fingerprint), then the four rows-only custom
+    vectorized operators."""
     out = Q.all_queries()
+    out["minhash_near_dup_clusters"] = _doc_clusters
+    out["rolling_fingerprint"] = _rolling_fingerprint
     # non-SQL-expressible: rows-only checks (custom vectorized operators,
     # each pytest-verified; kept LAST so the oracle-gated window is full)
-    out["minhash_near_dup_clusters"] = _doc_clusters
     out["dedup_simhash_pairs"] = _dedup_simhash
     out["ann_lsh_topk"] = _ann_lsh
     out["ann_ivf_topk"] = _ann_ivf
     out["multimodal_decode_features"] = _multimodal_features
-    out["rolling_fingerprint"] = _rolling_fingerprint
     return out
+
+
+# Flagship oracle: the Spark side blocks with MinHash-LSH over
+# basic-tokenized text and keeps edges at embedding-cosine >= 0.9; the
+# oracle recomputes the SAME ground-truth clustering from first
+# principles — all-pairs exact 3-shingle Jaccard >= 0.7 edges plus
+# recursive-CTE connected components. The two edge rules agree on this
+# corpus by construction of the fixtures: planted near-dup pairs sit at
+# Jaccard ~0.99 / cosine ~1.0 while every other pair is ~0 under both
+# measures (TESTDATA.md), and 16x4 banding misses a j~0.99 pair with
+# probability < 1e-12. cluster_key = lexicographic min doc-id string of
+# the component on both sides.
+_FLAGSHIP_ORACLE = """
+WITH RECURSIVE
+tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(1, len(t) - 2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [array_to_string(t, ' ')] END) AS s
+       FROM tk),
+e AS (SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.7),
+bidir AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+cc(node, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT b.v, cc.label FROM cc JOIN bidir b ON cc.node = b.u
+)
+SELECT node AS doc_id, min(CAST(label AS VARCHAR)) AS cluster_key
+FROM cc GROUP BY node ORDER BY doc_id
+"""
+
+# Rolling fingerprint oracle: replays functions/text._poly_hash exactly —
+# list_reduce seeds the accumulator with the first codepoint, then
+# (acc*31 + cp) mod 1e9+7, min over all 8-token windows.
+_ROLLING_ORACLE = """
+WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+w AS (SELECT doc_id,
+             CASE WHEN len(t) <= 8 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(generate_series(1, len(t) - 7),
+                                      i -> array_to_string(t[i:i+7], ' '))
+             END AS windows
+      FROM tk)
+SELECT doc_id,
+       list_min(list_transform(windows, s -> CASE WHEN s = '' THEN 0
+           ELSE list_reduce(
+                  list_transform(string_split(s, ''),
+                                 c -> CAST(unicode(c) AS BIGINT)),
+                  (a, x) -> (a * 31 + x) % 1000000007) END)) AS rh
+FROM w ORDER BY doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle for each SQL-expressible query (same column names)."""
-    return Q.all_oracles()
+    out = Q.all_oracles()
+    out["minhash_near_dup_clusters"] = _FLAGSHIP_ORACLE
+    out["rolling_fingerprint"] = _ROLLING_ORACLE
+    return out

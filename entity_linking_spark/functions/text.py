@@ -102,23 +102,40 @@ def split_sentences_udf(text: pd.Series) -> pd.Series:
 _WINDOW = 8
 
 
+_POLY_MOD = 1_000_000_007
+_POLY_MUL = 31
+
+
+def _poly_hash(s: str) -> int:
+    """Polynomial codepoint hash, chosen over crc32 because it is exactly
+    replayable in ANSI SQL (DuckDB list_reduce over unicode codepoints):
+    h = cp0, then h = (h*31 + cp_i) mod 1e9+7 — matching list_reduce's
+    first-element-as-accumulator semantics."""
+    if not s:
+        return 0
+    h = ord(s[0])
+    for c in s[1:]:
+        h = (h * _POLY_MUL + ord(c)) % _POLY_MOD
+    return h
+
+
 @pandas_udf(LongType())
 def rolling_hash_udf(text: pd.Series) -> pd.Series:
-    """Rolling-hash document fingerprint: min crc32 over all W-token
-    windows (winnowing-style; robust to local edits)."""
+    """Rolling-hash document fingerprint: min polynomial hash over all
+    W-token windows (winnowing-style; robust to local edits).
+
+    Tokenization is single-space split (matching SQL string_split) so the
+    fingerprint is oracle-checkable end to end."""
 
     def fp(t: str | None) -> int | None:
         if t is None:
             return None
-        toks = t.lower().split()
-        if not toks:
-            return 0
+        toks = t.lower().split(" ")
         if len(toks) <= _WINDOW:
-            return zlib.crc32(" ".join(toks).encode())
-        best = min(
-            zlib.crc32(" ".join(toks[i : i + _WINDOW]).encode())
+            return _poly_hash(" ".join(toks))
+        return min(
+            _poly_hash(" ".join(toks[i : i + _WINDOW]))
             for i in range(len(toks) - _WINDOW + 1)
         )
-        return best
 
     return text.map(fp)

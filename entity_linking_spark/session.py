@@ -59,10 +59,24 @@ def get_spark(
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
     )
-    if "spark.master" not in os.environ.get("SPARK_CONF", ""):
+    # master override for multi-executor runs (e.g. local-cluster[4,1,12288]
+    # — separate executor JVMs with real inter-executor shuffle); the
+    # spark-submit analog is passing --master on the command line
+    master_env = os.environ.get("SPARK_GRAFT_MASTER")
+    if master_env:
+        builder = builder.master(master_env)
+    elif "spark.master" not in os.environ.get("SPARK_CONF", ""):
         builder = builder.master(f"local[{cores}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # arbitrary conf pass-through for harness tools (JSON dict), applied
+    # last so the launching process wins over defaults
+    extra_env_conf = os.environ.get("SPARK_GRAFT_CONF")
+    if extra_env_conf:
+        import json
+
+        for k, v in json.loads(extra_env_conf).items():
+            builder = builder.config(k, str(v))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
