@@ -84,21 +84,29 @@ def main() -> None:
     el_sec = time.time() - t0
     times["el_pipeline_e2e"] = round(el_sec, 3)
 
-    total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "el_docs": n_out,
-                "el_docs_per_sec": round(n_out / el_sec, 1),
-                "cores": cores,
-            }
-        )
-    )
+    # correctness gate rides along (untimed): every benched number is
+    # backed by a green oracle run in the same JVM, so a red row can never
+    # ship silently inside a bench result. SPARK_GRAFT_SKIP_GATE=1 skips
+    # (iteration loops that only care about the timing).
+    out = {
+        "metric": "headline_total_runtime",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "el_docs": n_out,
+        "el_docs_per_sec": round(n_out / el_sec, 1),
+        "cores": cores,
+    }
+    if os.environ.get("SPARK_GRAFT_SKIP_GATE") != "1":
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from oracle_check import run_check
+
+        gate = run_check(spark, "/root/testdata/sf0.01", quiet=True)
+        out["oracle_gate"] = {k: gate[k] for k in ("pass", "fail", "weak")}
+        if gate["failures"]:
+            out["oracle_gate"]["failures"] = gate["failures"]
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -63,19 +63,75 @@ def encode_fake_media(kind: str, width: int, height: int, seed: int) -> bytes:
 
 
 def _require_codec(kind: str) -> None:
-    """Real decode needs an image/audio library the container lacks."""
+    """Real image/video decode needs a codec library the container lacks."""
     raise NotImplementedError(
-        f"real {kind} decoding requires a codec library (PIL/ffmpeg/librosa) "
-        "not present in this environment; use codec='fake' for the "
-        "deterministic test codec"
+        f"real {kind} decoding requires a codec library (PIL/ffmpeg) not "
+        "present in this environment; use codec='wav' for real PCM audio "
+        "or codec='fake' for the deterministic test codec"
     )
 
 
+def encode_wav_media(n_samples: int, framerate: int = 8000, seed: int = 0) -> bytes:
+    """A real RIFF/WAVE payload (16-bit mono PCM, stdlib `wave` writer)
+    with a deterministic seeded waveform — test/fixture generator for the
+    genuine wav decode path."""
+    import io
+    import wave
+
+    rng = np.random.RandomState(seed)
+    samples = (rng.standard_normal(n_samples) * 8000.0).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """REAL audio decode: RIFF/WAVE header + PCM samples via stdlib
+    `wave`/numpy — no external codec library. Mono-mixes multi-channel,
+    normalizes to [-1, 1], stride-samples to <=64 feature points."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_frames = w.getnframes()
+        width = w.getsampwidth()
+        channels = w.getnchannels()
+        raw = w.readframes(n_frames)
+    if width == 1:  # unsigned 8-bit PCM
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+        arr = (arr - 128.0) / 128.0
+    elif width == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        arr = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if channels > 1:
+        arr = arr.reshape(-1, channels).mean(axis=1)
+    if arr.size == 0:
+        return np.zeros(4, dtype=np.float32)
+    idx = np.linspace(0, arr.size - 1, num=min(64, arr.size)).round().astype(int)
+    return arr[idx].astype(np.float32)
+
+
 def decode_media(payload: bytes, kind: str, codec: str = "fake") -> np.ndarray:
-    """payload -> float32 feature array. STUB: only codec='fake' works."""
+    """payload -> float32 feature array.
+
+    codec='wav'  — REAL decode of RIFF/WAVE PCM audio (stdlib).
+    codec='fake' — deterministic test codec (full plumbing, fake bytes).
+    anything else is stubbed behind ``_require_codec`` (no image/video
+    codec library ships in this container)."""
+    if payload is None:
+        raise ValueError("null payload")
+    if codec == "wav":
+        return _decode_wav(payload)
     if codec != "fake":
         _require_codec(kind)
-    if payload is None or not payload.startswith(FAKE_MAGIC):
+    if not payload.startswith(FAKE_MAGIC):
         raise ValueError("not a fake-codec payload")
     width, height, seed = struct.unpack("<III", payload[4:16])
     rng = np.random.RandomState(seed)

@@ -102,7 +102,9 @@ def entity_support(candidates: DataFrame) -> DataFrame:
 
 
 def doc_features(
-    docs_tokens: DataFrame, candidates: DataFrame
+    docs_tokens: DataFrame,
+    candidates: DataFrame,
+    embeddings: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(supports, embeddings, top mention) per url — pruned feature tables.
 
@@ -122,12 +124,18 @@ def doc_features(
             ).alias("smap")
         )
     )
-    if "vec" in docs_tokens.columns:  # fused s1 already embedded each doc
-        embeddings = docs_tokens.select("url", "vec")
-    else:
-        embeddings = docs_tokens.select(
-            "url", hash_embed_udf(F.col("tokens")).alias("vec")
-        )
+    # ``embeddings``: a precomputed (url, vec) encodings table — the
+    # reference's write-once-reuse contract (eval_biencoder_.py:305-341);
+    # the pipeline passes its checkpointed s1b_embeddings stage here so a
+    # resumed run never re-encodes. Fallbacks: the fused-s1 vec column,
+    # else encode from tokens in-plan.
+    if embeddings is None:
+        if "vec" in docs_tokens.columns:  # fused s1 already embedded each doc
+            embeddings = docs_tokens.select("url", "vec")
+        else:
+            embeddings = docs_tokens.select(
+                "url", hash_embed_udf(F.col("tokens")).alias("vec")
+            )
     # representative mention: longest mention per doc (longest-alias-wins,
     # reference el_process.py:65 ordering)
     w = Window.partitionBy("url").orderBy(

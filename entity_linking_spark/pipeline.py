@@ -99,9 +99,22 @@ def run_pipeline(
 
     pairs = io.run_stage(spark, workdir, "s4_pairs", _pairs, force)
 
+    # S9 encodings table: the per-doc embedding as a FIRST-CLASS stage
+    # output (url, vec) — written once, reused by scoring here and by any
+    # ANN/linkage consumer across runs (the reference precomputes and
+    # caches entity encodings the same way, eval_biencoder_.py:305-341).
+    # The fused s1 pass already computed vec, so building it is a pure
+    # projection; the value is the standalone, resumable artifact.
+    def _embeddings() -> DataFrame:
+        return docs.select("url", "vec")
+
+    embeddings = io.run_stage(spark, workdir, "s1b_embeddings", _embeddings, force)
+
     def _scores() -> DataFrame:
-        supports, embeddings, top_mention = scoring.doc_features(docs, candidates)
-        return scoring.score_pairs(pairs, supports, embeddings, top_mention)
+        supports, emb, top_mention = scoring.doc_features(
+            docs, candidates, embeddings=embeddings
+        )
+        return scoring.score_pairs(pairs, supports, emb, top_mention)
 
     scores = io.run_stage(spark, workdir, "s5_scores", _scores, force)
 

@@ -85,3 +85,18 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
     import os
     assert os.listdir(ckdir), "reliable checkpoint dir must contain RDD data"
+
+
+def test_embeddings_stage_written_and_reused(spark, fixtures, workdir):
+    """S9 encodings table: (url, vec) is a first-class stage artifact and a
+    resumed run reuses it without re-encoding (sidecar untouched)."""
+    emb_meta = os.path.join(workdir, "s1b_embeddings", "_STAGE.json")
+    assert os.path.exists(emb_meta)
+    meta = json.load(open(emb_meta))
+    assert meta["rows"] > 0 and "vec" in meta["schema"]
+    mtime_before = os.path.getmtime(emb_meta)
+    # lose only the downstream scoring/clustering stages, rerun
+    for stage in ("s5_scores", "s6_clusters"):
+        shutil.rmtree(os.path.join(workdir, stage))
+    run_pipeline(spark, fixtures["documents"], fixtures["aliases"], workdir)
+    assert os.path.getmtime(emb_meta) == mtime_before  # not re-encoded

@@ -58,15 +58,19 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+def run_check(spark, sf_dir: str, name_filter: str = "", quiet: bool = False) -> dict:
+    """Run the full gate against an existing SparkSession; returns counts.
 
+    Importable so bench.py can run the gate in the same JVM before
+    publishing numbers — a red row never ships silently.
+    """
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
-    from entity_linking_spark.session import get_spark
 
-    spark = get_spark("oracle-check", cores=8)
+    def say(msg: str) -> None:
+        if not quiet:
+            print(msg)
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -74,6 +78,7 @@ def main() -> int:
     queries = entry.queries()
     oracles = entry.oracle_sql()
     n_pass = n_fail = n_weak = 0
+    failures: list[str] = []
     for name, fn in queries.items():
         if name_filter and name_filter not in name:
             continue
@@ -82,11 +87,12 @@ def main() -> int:
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: spark error: {str(e).splitlines()[0][:160]}")
+            say(f"FAIL {name}: spark error: {str(e).splitlines()[0][:160]}")
+            failures.append(name)
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"weak {name}: rows-only check, rows={len(srows)}")
+            say(f"weak {name}: rows-only check, rows={len(srows)}")
             n_weak += 1
             continue
         try:
@@ -94,7 +100,8 @@ def main() -> int:
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:160]}")
+            say(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:160]}")
+            failures.append(name)
             n_fail += 1
             continue
         problems = []
@@ -114,14 +121,26 @@ def main() -> int:
                         problems.append(f"first-diff spark={a} duck={b}")
                         break
         if problems:
-            print(f"FAIL {name}: {'; '.join(problems)}")
+            say(f"FAIL {name}: {'; '.join(problems)}")
+            failures.append(name)
             n_fail += 1
         else:
-            print(f"PASS {name} rows={len(srows)}")
+            say(f"PASS {name} rows={len(srows)}")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail, {n_weak} weak ==")
+    say(f"== {n_pass} pass, {n_fail} fail, {n_weak} weak ==")
+    return {"pass": n_pass, "fail": n_fail, "weak": n_weak, "failures": failures}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    sys.path.insert(0, "/root/repo")
+    from entity_linking_spark.session import get_spark
+
+    spark = get_spark("oracle-check", cores=8)
+    result = run_check(spark, sf_dir, name_filter)
     spark.stop()
-    return 1 if n_fail else 0
+    return 1 if result["fail"] else 0
 
 
 def _canon_row(cols, row):
