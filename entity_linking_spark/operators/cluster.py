@@ -39,12 +39,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
         F.col("src").alias("u"), F.col("dst").alias("v")
     ).unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
     w = Window.partitionBy("u")
+    # no .distinct() here: duplicates cannot change small-star's per-key
+    # min, and small_star ends the round with a canonicalizing distinct —
+    # dropping it saves one full exchange per fixpoint round
     return (
         sym.withColumn("m", F.least(F.col("u"), F.min("v").over(w)))
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
@@ -119,17 +121,21 @@ def connected_components(
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
-    if e.isEmpty():
-        return vertices.select("url", F.col("url").alias("cluster_id"))
+    # no isEmpty() pre-action: an empty edge set converges on round 2
+    # (signature (0,0) twice) and the left join below yields singletons —
+    # paying one extra job only in the empty case instead of one extra
+    # job in EVERY case
 
     if checkpoint_dir is not None:
         spark = edges.sparkSession
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
         _ckpt = lambda df: df.checkpoint(eager=False)  # noqa: E731
+        e = e.checkpoint()
     else:
         _ckpt = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
-
-    e = e.localCheckpoint(eager=True) if checkpoint_dir is None else e.checkpoint()
+        # lazy: round 1's signature action materializes it — one job
+        # instead of two before the fixpoint starts
+        e = e.localCheckpoint(eager=False)
     prev_sig = None
     for _ in range(max_iterations):
         e = _large_star(e)
