@@ -74,6 +74,27 @@ def run_stream_to_memory(
     )
 
 
+def _first_seen_of_group(n_prior: int, pdf_iter, id_col: str):
+    """(keeper_id | None, rows_in_batch) for one state group's chunks.
+
+    A group larger than the Arrow batch cap arrives as MULTIPLE pandas
+    chunks — the keeper must be min(id) across ALL of them, never just
+    the first chunk (chunk order is not deterministic). Module-level so
+    the multi-chunk contract is unit-testable without a streaming query.
+    """
+    first_id = None
+    n_this_batch = 0
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        n_this_batch += len(pdf)
+        if n_prior == 0:
+            chunk_min = pdf[id_col].min()
+            if first_id is None or chunk_min < first_id:
+                first_id = chunk_min
+    return first_id, n_this_batch
+
+
 def streaming_dedup_first_seen(
     docs_stream: DataFrame,
     text_col: str = "text",
@@ -110,19 +131,8 @@ def streaming_dedup_first_seen(
     state_schema = StructType([StructField("n_seen", LongType())])
 
     def dedup_fn(key, pdf_iter, state: GroupState):
-        # a group bigger than the Arrow batch cap spans multiple chunks —
-        # the keeper must be min(id) over ALL chunks, not just the first
         n_prior = state.get[0] if state.exists else 0
-        first_id = None
-        n_this_batch = 0
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            n_this_batch += len(pdf)
-            if n_prior == 0:
-                chunk_min = pdf[id_col].min()
-                if first_id is None or chunk_min < first_id:
-                    first_id = chunk_min
+        first_id, n_this_batch = _first_seen_of_group(n_prior, pdf_iter, id_col)
         state.update((n_prior + n_this_batch,))
         if first_id is not None:
             # n_batch_dupes: duplicates of the keeper within this first

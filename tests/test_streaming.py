@@ -125,3 +125,23 @@ def test_streaming_dedup_first_seen(spark, tmp_path):
     assert len(rows) == 2
     assert "u2" in by_url
     assert by_url & {"u1", "u3"} and not {"u1", "u3"} <= by_url
+
+
+def test_dedup_group_keeper_spans_chunks():
+    """The keeper is min(id) across ALL Arrow chunks of a group, and the
+    in-batch dupe count covers every chunk (regression: first-chunk-only
+    keeper was chunk-order dependent)."""
+    import pandas as pd
+
+    from entity_linking_spark.streaming.jobs import _first_seen_of_group
+
+    chunks = [
+        pd.DataFrame({"url": ["u9", "u5"]}),
+        pd.DataFrame({"url": []}),            # empty chunk tolerated
+        pd.DataFrame({"url": ["u1", "u7"]}),  # true min in a LATER chunk
+    ]
+    first_id, n = _first_seen_of_group(0, iter(chunks), "url")
+    assert first_id == "u1" and n == 4
+    # group already seen in a prior batch: nothing emitted, count still up
+    first_id, n = _first_seen_of_group(3, iter(chunks), "url")
+    assert first_id is None and n == 4
