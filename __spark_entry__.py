@@ -99,8 +99,21 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # planes sized to corpus density: ~log2(n/32) (500-50k vecs -> 4-10)
-    n = emb.count()
+    # planes sized to corpus density: ~log2(n/32) (500-50k vecs -> 4-10).
+    # n comes from parquet FOOTER metadata (driver-side, no Spark job) —
+    # the same metadata-only trick as stage lineage; a count() action
+    # here would scan the corpus once per call just to pick a constant.
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    n = sum(
+        pq.ParquetFile(os.path.join(dp, f)).metadata.num_rows
+        for dp, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    ) if os.path.isdir(path) else pq.ParquetFile(path).metadata.num_rows
     n_planes = max(2, min(16, (max(n, 64) // 32).bit_length()))
     return ann.lsh_topk(emb, queries_df, k=5, n_planes=n_planes)
 

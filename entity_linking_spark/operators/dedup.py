@@ -207,7 +207,19 @@ def minhash_near_dup_pairs(
     )
     pairs = blocking.candidate_pairs(keys, max_block_size=max_block_size)
     if verify == "exact":
-        sh = base.select("url", shingle_set_col("tokens").alias("sh"))
+        # shingles are hashed to int64 (JVM xxhash64) BEFORE the pair
+        # join: the set semantics — and hence the exact Jaccard value —
+        # are unchanged (64-bit collisions are ~n_shingles^2/2^65), but
+        # the pair-table exchange carries 8-byte longs instead of ~25-byte
+        # shingle strings and array_intersect compares longs, not UTF-8
+        sh = base.select(
+            "url",
+            F.array_distinct(
+                F.transform(
+                    shingle_set_col("tokens"), lambda s: F.xxhash64(s)
+                )
+            ).alias("sh"),
+        )
         sa = sh.select(F.col("url").alias("url_a"), F.col("sh").alias("sh_a"))
         sb = sh.select(F.col("url").alias("url_b"), F.col("sh").alias("sh_b"))
         inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
