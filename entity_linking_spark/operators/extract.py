@@ -103,8 +103,8 @@ def extract_and_tokenize(
     scoring) then run entirely JVM-side on the precomputed columns.
     """
     from entity_linking_spark.functions.minhash import (
-        band_hashes,
-        minhash_signature,
+        bands_from_signatures,
+        minhash_signatures_batch,
     )
     from entity_linking_spark.functions.normalize import basic_tokenize
     from entity_linking_spark.functions.vectors import hash_embed_matrix
@@ -127,10 +127,8 @@ def extract_and_tokenize(
             token_lists = [
                 basic_tokenize(t) if t is not None else None for t in texts
             ]
-            bands = [
-                band_hashes(minhash_signature(t)) if t is not None else None
-                for t in token_lists
-            ]
+            sigs = minhash_signatures_batch(token_lists)
+            bands = bands_from_signatures(sigs)
             emb = hash_embed_matrix([t or [] for t in token_lists])
             out = pdf[keep_cols].copy()
             out["text"] = texts
@@ -149,7 +147,7 @@ def tokenize_and_featurize(
     text (the no-html sibling of extract_and_tokenize — same rationale:
     tokens cross JVM<->Python once, every per-doc feature is computed while
     they're in Python memory)."""
-    from entity_linking_spark.functions.minhash import band_hashes, minhash_signature
+    from entity_linking_spark.functions.minhash import bands_from_signatures, minhash_signatures_batch
     from entity_linking_spark.functions.normalize import basic_tokenize
     from entity_linking_spark.functions.vectors import hash_embed_matrix
 
@@ -167,10 +165,8 @@ def tokenize_and_featurize(
             token_lists = [
                 basic_tokenize(t) if t is not None else None for t in pdf[text_col]
             ]
-            bands = [
-                band_hashes(minhash_signature(t)) if t is not None else None
-                for t in token_lists
-            ]
+            sigs = minhash_signatures_batch(token_lists)
+            bands = bands_from_signatures(sigs)
             emb = hash_embed_matrix([t or [] for t in token_lists])
             yield pd.DataFrame(
                 {
