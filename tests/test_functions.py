@@ -65,3 +65,48 @@ def test_hash_embed_normalized_and_deterministic():
     cos_sim = float(m[0] @ m2[0])
     cos_dis = float(m[0] @ m2[1])
     assert cos_sim > cos_dis
+
+
+def test_minhash_batch_matches_single_and_handles_edges():
+    """Batch OPH path is bit-identical to the single-doc wrapper for
+    every doc class: >=k tokens, short (densified from one bin), empty,
+    and None."""
+    from entity_linking_spark.functions.minhash import (
+        bands_from_signatures,
+        minhash_signatures_batch,
+    )
+
+    docs = [
+        [f"w{i}" for i in range(40)],
+        ["solo"],
+        ["two", "tokens"],
+        [],
+        None,
+        [f"v{i}" for i in range(5)],
+    ]
+    bat = minhash_signatures_batch(docs)
+    for d, s in zip(docs, bat):
+        if d is None:
+            assert s is None
+        else:
+            assert np.array_equal(s, minhash_signature(d))
+    bands = bands_from_signatures(bat)
+    assert bands[4] is None
+    assert bands[0] == band_hashes(bat[0])
+    # short docs densify deterministically and still produce full bands
+    assert len(bat[1]) == 64 and len(bands[1]) == 16
+    assert list(bat[1]) != list(bat[2])
+
+
+def test_minhash_banding_recall_on_near_dups():
+    """A j~0.97 pair must share at least one LSH band (the blocking
+    guarantee the near-dup pipeline rests on)."""
+    base = [f"tok{i}" for i in range(100)]
+    near = base[:97] + ["x1", "x2", "x3"]
+    ba = band_hashes(minhash_signature(base))
+    bb = band_hashes(minhash_signature(near))
+    assert any(x == y for x, y in zip(ba, bb))
+    # and a disjoint pair must share none
+    other = [f"z{i}" for i in range(100)]
+    bc = band_hashes(minhash_signature(other))
+    assert not any(x == y for x, y in zip(ba, bc))
