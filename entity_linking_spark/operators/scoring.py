@@ -72,14 +72,23 @@ def _pair_scores_udf(
     # Jaro-Winkler half of the name blend (no JVM builtin exists); the
     # Levenshtein half runs JVM-side via F.levenshtein in score_pairs — a
     # pure-Python O(len^2) DP per pair measured 2-3x slower on the whole
-    # scoring stage at 3.7M pairs.
+    # scoring stage at 3.7M pairs. Representative mentions come from a
+    # bounded alias vocabulary, so (m_a, m_b) pairs repeat heavily across
+    # a batch — a batch-local memo turns most rows into a dict hit
+    # instead of an O(len^2) scan.
+    memo: dict[tuple[str, str], float] = {}
+
+    def jw(x, y) -> float:
+        if not (isinstance(x, str) and isinstance(y, str)):
+            return 0.0
+        key = (x, y)
+        v = memo.get(key)
+        if v is None:
+            v = memo[key] = jaro_winkler(x, y)
+        return v
+
     name = np.fromiter(
-        (
-            jaro_winkler(x, y) if isinstance(x, str) and isinstance(y, str) else 0.0
-            for x, y in zip(m_a, m_b)
-        ),
-        dtype=np.float64,
-        count=n,
+        (jw(x, y) for x, y in zip(m_a, m_b)), dtype=np.float64, count=n
     )
     return pd.DataFrame({"cos": cos, "name": name})
 
