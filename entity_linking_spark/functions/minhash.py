@@ -2,9 +2,8 @@
 
 Replaces the reference's FAISS ANN retrieval (entity_candidate/indexer/
 faiss_indexer.py:47-136) and Solr BM25 retrieval with a shuffle-friendly
-banding scheme: token k-shingles -> 64-bin densified one-permutation
-MinHash signature -> b bands of r rows -> equi-join on
-(band_idx, band_hash). Candidate pairs
+banding scheme: token k-shingles -> 64-permutation MinHash signature ->
+b bands of r rows -> equi-join on (band_idx, band_hash). Candidate pairs
 are then re-scored exactly (operators/scoring.py), mirroring the
 reference's retrieve-then-rerank lifecycle (SURVEY.md §3.1).
 
@@ -32,6 +31,11 @@ N_BANDS = 16
 ROWS_PER_BAND = N_PERM // N_BANDS
 SHINGLE_K = 3
 _EMPTY_SENTINEL = (1 << 64) - 1
+
+_SEED = 42
+_rng = np.random.RandomState(_SEED)
+# one odd 64-bit mixing key per permutation (splitmix64 scheme below)
+_KEYS = _rng.randint(0, 1 << 63, size=N_PERM, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
 
 _M1 = np.uint64(0xBF58476D1CE4E5B9)
 _M2 = np.uint64(0x94D049BB133111EB)
@@ -97,29 +101,47 @@ def shingle_hashes(tokens: list[str], k: int = SHINGLE_K) -> np.ndarray:
     return np.unique(_splitmix64(comb))
 
 
-# densification offset constant (odd => wrapping multiply is a bijection)
-_DENSIFY_C = np.uint64(0x9E3779B97F4A7C15)
+_SEG_SHINGLES = 1024  # [N_PERM, seg] temporary ~0.5 MB: L2-resident wins
+# (measured: 1024 -> 0.21s, 4096 -> 0.26s, 16384 -> 1.8s per 4k docs)
+
+
+_CHUNK_DOCS = 2048  # keep the scatter/densify working set cache-resident
 
 
 def minhash_signatures_batch(
     token_lists: list[list[str] | None],
 ) -> list[np.ndarray | None]:
-    """64-bin signatures for a whole Arrow batch via densified
-    ONE-permutation hashing — the batch form is the primary API.
+    """64-perm signatures for a whole Arrow batch (see _signatures_chunk).
+    Internally chunks the batch so the [N_PERM, shingles] temporaries
+    stay cache-resident; outputs are identical to the single-doc path
+    (documents are independent)."""
+    out: list[np.ndarray | None] = [None] * len(token_lists)
+    for lo in range(0, len(token_lists), _CHUNK_DOCS):
+        chunk = token_lists[lo : lo + _CHUNK_DOCS]
+        for off, sig in enumerate(_signatures_chunk(chunk)):
+            out[lo + off] = sig
+    return out
 
-    Classic k-perm MinHash evaluates k hashes per shingle — a
-    [64, n_shingles] matrix per document that dominated the fused
-    featurization pass (~50% of s1 at 1M docs). One-permutation hashing
-    (Li, Owen, Zhang, NIPS'12) computes ONE mixed hash per shingle,
-    partitions the hash space into 64 bins (top 6 bits), and takes the
-    min within each bin; empty bins borrow from the nearest non-empty
-    bin to the right (circularly), offset by distance*C — the
-    "densification" of Shrivastava & Li (ICML'14), which restores the
-    LSH collision property E[sig_a[i]==sig_b[i]] ~= J(a,b) for banding
-    and estimation. Batching amortizes the numpy dispatch: one
-    minimum.at scatter and one vectorized suffix-min densification for
-    the entire batch. Same signature shape and downstream banding as
-    the classic scheme, ~3x less featurization time per batch.
+
+def _signatures_chunk(
+    token_lists: list[list[str] | None],
+) -> list[np.ndarray | None]:
+    """Classic 64-PERMUTATION signatures, vectorized across the chunk.
+
+    Shingle hashing is the corpus-level vectorized path (factorize +
+    polynomial window fold — see shingle_hashes); the permutation
+    minima then run as [N_PERM, segment] matrix ops with per-doc
+    np.minimum.reduceat, segmented so temporaries stay in cache.
+
+    Densified one-permutation hashing (Shrivastava & Li, ICML'14) was
+    tried here and REVERTED: with ~58 shingles across 64 bins most docs
+    densify several bins, and densified rows inside one LSH band are
+    perfectly correlated (all derive from the same source bin), so a
+    band matches with probability ~j instead of j^rows. On a
+    boilerplate-heavy corpus that collapsed banding precision —
+    candidate pairs exploded 3.7M -> 17.8M at 1M docs and pairwise
+    scoring tripled. Independent permutations are the point, not an
+    implementation detail.
     """
     k = SHINGLE_K
     n = len(token_lists)
@@ -172,25 +194,23 @@ def minhash_signatures_batch(
     doc = np.concatenate(doc_parts)
     # duplicates within a doc are NOT removed: min over a multiset equals
     # min over the set, so dedup would only cost time here
-    v = _splitmix64(sh)
-    bins = (v >> np.uint64(58)).astype(np.int64)  # top 6 bits -> 64 bins
-    flat = np.full(len(eff_idx) * N_PERM, _EMPTY_SENTINEL, dtype=np.uint64)
-    np.minimum.at(flat, doc * N_PERM + bins, v)
-    sig = flat.reshape(len(eff_idx), N_PERM)
-    empty = sig == _EMPTY_SENTINEL
-    need = empty.any(axis=1)
-    if need.any():
-        E = empty[need]  # [R, 64]
-        S = sig[need]
-        col2 = np.arange(2 * N_PERM, dtype=np.int64)
-        # doubled columns + suffix-min => nearest non-empty bin at or
-        # right of each j, with circular wrap via the second copy
-        idx2 = np.where(np.tile(~E, (1, 2)), col2[None, :], 4 * N_PERM)
-        nxt = np.minimum.accumulate(idx2[:, ::-1], axis=1)[:, ::-1][:, :N_PERM]
-        src = nxt % N_PERM
-        d = ((src - col2[None, :N_PERM]) % N_PERM).astype(np.uint64)
-        rowi = np.arange(S.shape[0])[:, None]
-        sig[need] = np.where(E, S[rowi, src] + d * _DENSIFY_C, S)
+    n_docs = len(eff_idx)
+    # per-doc start offsets in the concatenated shingle stream (doc ids
+    # are contiguous 0..n_docs-1 and ascending; every doc has >=1 entry)
+    offsets = np.flatnonzero(np.diff(doc, prepend=-1))
+    sig = np.empty((n_docs, N_PERM), dtype=np.uint64)
+    d0 = 0
+    while d0 < n_docs:
+        # advance so each [N_PERM, segment] temporary stays ~cache-sized
+        d1 = d0 + 1
+        seg_start = offsets[d0]
+        while d1 < n_docs and offsets[d1] - seg_start < _SEG_SHINGLES:
+            d1 += 1
+        seg_end = offsets[d1] if d1 < n_docs else sh.size
+        vals = _splitmix64(sh[None, seg_start:seg_end] ^ _KEYS[:, None])
+        local = offsets[d0:d1] - seg_start
+        sig[d0:d1] = np.minimum.reduceat(vals, local, axis=1).T
+        d0 = d1
     for j, i in enumerate(eff_idx):
         out[i] = sig[j]
     return out
