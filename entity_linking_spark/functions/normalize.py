@@ -92,6 +92,37 @@ def _normalize_ascii(text: str) -> str:
     return " ".join(text.split())
 
 
+def tokenize_batch(texts) -> list[list[str] | None]:
+    """basic_tokenize for a whole Arrow batch, one regex pass.
+
+    ASCII documents are concatenated with a NUL separator — guaranteed
+    absent after the translate step, which maps every char to printable
+    ASCII or space — so lower() and the punctuation-spacing regex run
+    ONCE over the joined megastring instead of once per document (the
+    per-call regex overhead was the hot spot of the fused extract pass
+    after minhash was vectorized). Each op is character-local, so the
+    result is exactly basic_tokenize per document; non-ASCII documents
+    take the faithful per-doc path.
+    """
+    out: list[list[str] | None] = [None] * len(texts)
+    ascii_idx: list[int] = []
+    ascii_txt: list[str] = []
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        if t.isascii():
+            ascii_idx.append(i)
+            ascii_txt.append(t.translate(_ASCII_CLEAN))
+        else:
+            out[i] = basic_tokenize(t)
+    if ascii_idx:
+        joint = "\x00".join(ascii_txt).lower()
+        joint = _ASCII_PUNCT_RE.sub(r" \1 ", joint)
+        for i, seg in zip(ascii_idx, joint.split("\x00")):
+            out[i] = seg.split()
+    return out
+
+
 # --- general (faithful) path ---------------------------------------------
 
 

@@ -106,7 +106,7 @@ def extract_and_tokenize(
         bands_from_signatures,
         minhash_signatures_batch,
     )
-    from entity_linking_spark.functions.normalize import basic_tokenize
+    from entity_linking_spark.functions.normalize import tokenize_batch
     from entity_linking_spark.functions.vectors import hash_embed_matrix
 
     fields = [f for f in df.schema.fields if f.name in keep]
@@ -124,9 +124,7 @@ def extract_and_tokenize(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             texts = pdf[html_col].map(extract_text)
-            token_lists = [
-                basic_tokenize(t) if t is not None else None for t in texts
-            ]
+            token_lists = tokenize_batch(list(texts))
             sigs = minhash_signatures_batch(token_lists)
             bands = bands_from_signatures(sigs)
             emb = hash_embed_matrix([t or [] for t in token_lists])
@@ -148,7 +146,7 @@ def tokenize_and_featurize(
     tokens cross JVM<->Python once, every per-doc feature is computed while
     they're in Python memory)."""
     from entity_linking_spark.functions.minhash import bands_from_signatures, minhash_signatures_batch
-    from entity_linking_spark.functions.normalize import basic_tokenize
+    from entity_linking_spark.functions.normalize import tokenize_batch
     from entity_linking_spark.functions.vectors import hash_embed_matrix
 
     out_schema = StructType(
@@ -162,9 +160,7 @@ def tokenize_and_featurize(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            token_lists = [
-                basic_tokenize(t) if t is not None else None for t in pdf[text_col]
-            ]
+            token_lists = tokenize_batch(list(pdf[text_col]))
             sigs = minhash_signatures_batch(token_lists)
             bands = bands_from_signatures(sigs)
             emb = hash_embed_matrix([t or [] for t in token_lists])

@@ -72,3 +72,28 @@ def test_clean_text_drops_controls_keeps_ws():
     assert clean_text("a\tb\nc\rd") == "a b c d"
     assert clean_text("a\u00a0b\u3000c") == "a b c"
 
+
+
+def test_tokenize_batch_identical_to_per_doc():
+    """The megastring ASCII batch path is basic_tokenize, exactly —
+    including NULs in input (dropped by translate, so the separator is
+    safe), controls, mixed scripts, empties, and None."""
+    from entity_linking_spark.functions.normalize import (
+        basic_tokenize,
+        tokenize_batch,
+    )
+
+    cases = [
+        None,
+        "",
+        "plain ascii text here",
+        "Punct-mix!! (a,b); c:d",
+        "a\x00b with a real NUL",
+        "tab\tsep\nnewline\rcr",
+        "héllo accentéd wörld",
+        "中文 mixed with ascii",
+        "  leading  and   trailing   ",
+    ]
+    got = tokenize_batch(cases)
+    for t, g in zip(cases, got):
+        assert g == (basic_tokenize(t) if t is not None else None), t
