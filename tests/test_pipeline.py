@@ -100,3 +100,17 @@ def test_embeddings_stage_written_and_reused(spark, fixtures, workdir):
         shutil.rmtree(os.path.join(workdir, stage))
     run_pipeline(spark, fixtures["documents"], fixtures["aliases"], workdir)
     assert os.path.getmtime(emb_meta) == mtime_before  # not re-encoded
+
+
+def test_write_stage_empty_output(spark, tmp_path):
+    """An empty stage output still writes a truthful sidecar (rows=0) —
+    the footer-lineage fast path must not crash or lie when the parquet
+    part files are empty or absent."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).where(F.col("id") < 0)  # empty, known schema
+    meta = io.write_stage(df, str(tmp_path), "s_empty")
+    assert meta["rows"] == 0
+    back = io.read_stage(spark, str(tmp_path), "s_empty")
+    assert back.count() == 0
+    assert io.stage_complete(str(tmp_path), "s_empty")
