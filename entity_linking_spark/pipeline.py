@@ -147,7 +147,10 @@ def main() -> None:
         labeled_pairs = fx["labeled_pairs"]
     t0 = time.time()
     clusters = run_pipeline(spark, documents, aliases, args.workdir, force=args.force)
-    n_docs = clusters.count()
+    # row count from the s6 sidecar (written during the stage's own save)
+    # — a final count() action was a pure harness artifact re-scanning
+    # the whole output
+    n_docs = io.stage_meta(args.workdir, "s6_clusters")["rows"]
     elapsed = time.time() - t0
     out = {
         "docs": n_docs,
