@@ -269,27 +269,39 @@ def candidate_pairs(
     bounded, and the final distinct dedups pairs that co-occur under
     several keys.
     """
-    from pyspark.sql.window import Window
-
-    # block-size cap via a count window over the key: ONE shuffle
-    # (hash-partition by key), no size-estimate-dependent join whose
-    # strategy AQE could flip to a multi-million-row broadcast. The
-    # self-join below then reuses the same hashpartitioning(key) on both
-    # sides — no further exchange before the pair filter.
+    # Stop keys are found by a two-phase groupBy().count() — partial
+    # (map-side) aggregation collapses a hot key to one partial row per
+    # map task, so a 10^8-member boilerplate band costs the count shuffle
+    # only #tasks rows — then the (tiny, <= rows/cap by construction;
+    # measured 51 keys over 71M key rows at 4M docs) stop list broadcasts
+    # into a LEFT ANTI join that drops every hot row MAP-SIDE. Hot keys
+    # therefore never cross the wire at all, and the one real exchange
+    # (the self-join below) carries only kept rows with <= cap members
+    # per key — skew-free by construction.
+    #
+    # This replaces a count-over-Window cap (one exchange, reused by the
+    # self-join) that measured FASTER at 1M docs but fell off a cliff at
+    # 4M: WindowExec hash-partitions by raw key and SORTS, so the one
+    # partition holding the hottest host key (800k rows at 4M docs)
+    # became a straggler task while the other executors idled — stage
+    # scaling efficiency 0.74 -> 0.41 going 1M -> 4M docs, and AQE
+    # cannot split a skewed window partition the way it splits skewed
+    # join partitions. No sort and no skewed exchange exist in this plan.
     #
     # The string key (host:/ent:/mh:band:hash, ~25-45 bytes) is folded to
-    # xxhash64 FIRST: the window and self-join then shuffle 8-byte longs
-    # (~4x less key traffic; shuffle bandwidth is the scaling ceiling of
-    # this stage). A 64-bit collision would merge two unrelated blocks —
-    # blocking is a candidate generator, so the extra pairs are filtered
-    # by exact scoring downstream, same as any other block co-occurrence.
-    w = Window.partitionBy("key")
-    kept = (
-        keys.select(F.xxhash64("key").alias("key"), "url")
-        .withColumn("block_size", F.count("*").over(w))
-        .where(F.col("block_size") <= max_block_size)
-        .select("key", "url")
+    # xxhash64 FIRST: count + self-join traffic is 8-byte longs (~4x less
+    # key bytes; shuffle bandwidth is the scaling ceiling here). A 64-bit
+    # collision would merge two unrelated blocks — blocking is a
+    # candidate generator, so the extra pairs are filtered by exact
+    # scoring downstream, same as any other block co-occurrence.
+    hashed = keys.select(F.xxhash64("key").alias("key"), "url")
+    stop = (
+        hashed.groupBy("key")
+        .agg(F.count("*").alias("block_size"))
+        .where(F.col("block_size") > max_block_size)
+        .select("key")
     )
+    kept = hashed.join(F.broadcast(stop), "key", "left_anti")
     a = kept.select(F.col("key"), F.col("url").alias("url_a"))
     b = kept.select(F.col("key"), F.col("url").alias("url_b"))
     return (
