@@ -13,13 +13,15 @@ queries()      — one entry per implemented operator from SURVEY.md §2
                  coverage).
 oracle_sql()   — matching DuckDB SQL for every SQL-expressible operator.
 
-Operator-id -> query-name mapping notes (round-2 merges, each op id kept
-visible in its query's name): A1/A2/A3 -> a1_a2_a3_group_count_distinct;
-A7+A9 -> a7_a9_hits_recall_at_k; W2+W3 -> w2_w3_rank_topk_collect;
-SO1/2/3 -> so1_so2_so3_setops; F7/F10/F12/F16 -> f7_f10_f12_f16_scalar_
-chain; F9+F13 -> f9_f13_window_slice_offset; A11 + the text-quality /
-token-count / lang-id / fingerprint ops -> text_analysis_suite;
-S1/S2/S4 -> s1_s4_jsonl_bz2_scan.
+Operator-id -> query-name mapping notes (round-2/3 merges, each op id
+kept visible in its query's name): A1/A2/A3 -> a1_a2_a3_group_count_
+distinct; A7+A9 -> a7_a9_hits_recall_at_k; W2+W3 -> w2_w3_rank_topk_
+collect; SO1/2/3 -> so1_so2_so3_setops; F7/F10/F11/F12/F16 ->
+f7_f10_f11_f12_f16_scalar_chain; F9+F13 -> f9_f13_window_slice_offset;
+A11 + the text-quality / token-count / lang-id / fingerprint ops ->
+text_analysis_suite; S1/S2/S4 -> s1_s4_jsonl_bz2_scan; J4 semi + anti
+-> j4_semi_anti_join (round 3, freeing the slot that now holds the
+oracle-backed j5_bm25_topk — J5 was rows-only through round 2).
 """
 
 from __future__ import annotations

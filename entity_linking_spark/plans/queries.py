@@ -163,37 +163,27 @@ def j2_coalesce_fallback_join(spark, sf_dir):
 
 
 @query(
-    "j4_semi_join",
-    """SELECT c_custkey FROM customer c
+    "j4_semi_anti_join",
+    """SELECT 'semi' AS side, c_custkey FROM customer c
        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-       ORDER BY c_custkey""",
-)
-def j4_semi_join(spark, sf_dir):
-    """J4: KB-subset semi join (main_dense.py:182-197)."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .select("c_custkey")
-        .orderBy("c_custkey")
-    )
-
-
-@query(
-    "j_anti_join",
-    """SELECT c_custkey FROM customer c
+       UNION ALL
+       SELECT 'anti' AS side, c_custkey FROM customer c
        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-       ORDER BY c_custkey""",
+       ORDER BY side, c_custkey""",
 )
-def j_anti_join(spark, sf_dir):
-    """P6/P7 as anti-join: rows with no match (SURVEY §2.3 note)."""
+def j4_semi_anti_join(spark, sf_dir):
+    """J4: KB-subset semi join (main_dense.py:182-197) and its anti-join
+    complement (P6/P7 exclusion shape, SURVEY §2.3 note), tagged by side.
+    Merged into one gate slot (round 3) to free a slot for j5_bm25_topk."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .select("c_custkey")
-        .orderBy("c_custkey")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit("semi").alias("side"), "c_custkey"
     )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("anti").alias("side"), "c_custkey"
+    )
+    return semi.unionByName(anti).orderBy("side", "c_custkey")
 
 
 @query(
@@ -484,28 +474,48 @@ def so1_so2_so3_setops(spark, sf_dir):
 # ------------------------------------------------- scalar string/math fns
 
 @query(
-    "f7_f10_f12_f16_scalar_chain",
-    """SELECT doc_id,
+    "f7_f10_f11_f12_f16_scalar_chain",
+    """WITH u AS (
+         SELECT *, 'https://' || source || '.example.org/' || lang
+                   || '/doc%20' || CAST(doc_id AS VARCHAR) AS wurl
+         FROM documents)
+       SELECT doc_id,
               substr(text, 1, 100) AS snippet,
               CAST(string_split('https://en.wikipedia.org/wiki?curid=' || CAST(doc_id AS VARCHAR), 'curid=')[-1] AS BIGINT) AS curid,
+              string_split(wurl, '/')[3] AS host,
+              replace(regexp_extract(wurl, '^[a-z]+://[^/]+(/.+)$', 1), '%20', ' ') AS link_path,
               array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), ' ') AS joined,
               round(ln(1 + n_chars), 4) AS boost
-       FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+       FROM u WHERE doc_id < 200 ORDER BY doc_id""",
 )
-def f7_f10_f12_f16_scalar_chain(spark, sf_dir):
+def f7_f10_f11_f12_f16_scalar_chain(spark, sf_dir):
     """Scalar-function chain, one projection row per doc:
     F7 description[:100] truncation (data_process_.py:196),
     F10 idx.split('curid=')[-1] -> int (main_dense.py:130-135),
+    F11 URL host parse + percent-unquote of the link path
+        (process_wiki_extractor_output_links.py:53,86-88,104-114) — the
+        normalized-URL-host blocking key; parse_url/url_decode run
+        JVM-side, the oracle replays them with split/replace,
     F12 join non-empty lines (data_ingestion.py:113-116),
     F16 log(1+num_incoming_links) boost (candidate_generators.py:127)."""
     d = _t(spark, sf_dir, "documents")
     url = F.concat(F.lit("https://en.wikipedia.org/wiki?curid="), F.col("doc_id"))
+    wurl = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/"),
+        F.col("lang"),
+        F.lit("/doc%20"),
+        F.col("doc_id"),
+    )
     return (
         d.where(F.col("doc_id") < 200)
         .select(
             "doc_id",
             F.substring("text", 1, 100).alias("snippet"),
             F.element_at(F.split(url, "curid="), -1).cast("long").alias("curid"),
+            F.parse_url(wurl, F.lit("HOST")).alias("host"),
+            F.url_decode(F.parse_url(wurl, F.lit("PATH"))).alias("link_path"),
             F.concat_ws(
                 " ", F.filter(F.split(F.col("text"), " "), lambda x: x != "")
             ).alias("joined"),
@@ -1383,4 +1393,100 @@ def w2_w3_rank_topk_collect(spark, sf_dir):
             ).alias("top_ids")
         )
         .orderBy("event_type")
+    )
+
+
+# ------------------------------------------------- BM25 retrieval (J5)
+
+_J5_BM25_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+       GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms AS (SELECT DISTINCT doc_id AS query_id, unnest(t[1:3]) AS term
+           FROM toks WHERE doc_id < 5),
+scored AS (
+    SELECT q.query_id, tf.doc_id,
+           sum(ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM qterms q
+    JOIN tf ON q.term = tf.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    JOIN dfreq ON tf.term = dfreq.term
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+ranked AS (SELECT query_id, doc_id, round(score, 4) AS bm25,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(score, 4) DESC, doc_id) AS rk
+           FROM scored)
+SELECT query_id, doc_id, bm25, rk FROM ranked
+WHERE rk <= 5 ORDER BY query_id, rk
+"""
+
+
+@query("j5_bm25_topk", _J5_BM25_ORACLE)
+def j5_bm25_topk(spark, sf_dir):
+    """J5: BM25 top-k retrieval join (candidate_generators.py:59-116;
+    query template perform_and_evaluate_candidate_retrieval_multithreaded
+    .py:180-199, rows=k cut main_solr.py:126-143) — the Solr edismax
+    retrieval re-expressed as pure DataFrame arithmetic. Okapi BM25
+    (k1=1.2, b=0.75): tf per (doc, term) via explode+groupBy (map-side
+    partial agg), df per term, corpus stats (N, avgdl) as a 1-row
+    broadcast cross join (never a driver collect), the retrieval join is
+    the query-term = doc-term equi-join, and the rows=k limit is the W1
+    row_number window. Queries = the first 3 tokens of docs 0..4.
+    Ranking uses round(score, 4) + doc_id so engine-level float
+    associativity in the sum can never flip a rank near a tie."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    qterms = (
+        toks.where(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("t", 1, 3)).alias("term"),
+        )
+        .distinct()
+    )
+    k1, b = 1.2, 0.75
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    wgt = (
+        idf
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl") / F.col("avgdl")))
+    )
+    # dfreq is NOT broadcast-hinted: at open-vocabulary corpus scale the
+    # term->df table is huge and the hint would OOM the driver; AQE
+    # converts the join to broadcast at runtime whenever df IS small
+    # (as here). qterms (queries x terms) is the genuinely tiny side and
+    # Catalyst broadcasts it into the tf join on its own. stats is one
+    # row — always broadcast.
+    scored = (
+        qterms.join(tf, "term")
+        .join(dl, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(wgt).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("query_id", "doc_id", F.round("score", 4).alias("bm25"), "rk")
+        .orderBy("query_id", "rk")
     )
