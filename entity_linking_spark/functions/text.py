@@ -9,7 +9,6 @@ builders for pipelines.
 from __future__ import annotations
 
 import re
-import zlib
 
 import pandas as pd
 from pyspark.sql import Column, functions as F

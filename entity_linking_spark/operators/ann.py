@@ -212,6 +212,21 @@ def ivf_topk(
     if sample_mod > 1:
         s = s.where(F.pmod(F.col("_h"), F.lit(sample_mod)) == 0)
     sample_rows = s.orderBy("_h").limit(target).drop("_h").collect()
+    if not sample_rows and sample_mod > 1:
+        # the modulus was too coarse for this corpus (a web-scale
+        # sample_mod on a small table can leave zero rows at residue 0):
+        # fall back to the unfiltered bottom-k-by-hash — one extra job,
+        # still a per-partition heap, never a full sort
+        sample_rows = (
+            corpus.select(id_col, vec_col)
+            .withColumn("_h", F.xxhash64(F.col(id_col)))
+            .orderBy("_h")
+            .limit(target)
+            .drop("_h")
+            .collect()
+        )
+    if not sample_rows:
+        raise ValueError("ivf_topk: empty corpus, cannot seed centroids")
     sample_rows.sort(key=lambda r: r[0])  # seed order independent of plan
     smat = np.stack([np.asarray(r[1], dtype=np.float32) for r in sample_rows])
     cents = smat[: min(n_cells, len(smat))].copy()

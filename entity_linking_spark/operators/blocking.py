@@ -259,7 +259,7 @@ def blocking_keys(
 
 
 def candidate_pairs(
-    keys: DataFrame, max_block_size: int = MAX_BLOCK_SIZE
+    keys: DataFrame, max_block_size: int = MAX_BLOCK_SIZE, cache_keys: bool = True
 ) -> DataFrame:
     """Within-block pair generation with stop-key removal.
 
@@ -268,6 +268,16 @@ def candidate_pairs(
     is an equi join on the key; with capped blocks the per-key output is
     bounded, and the final distinct dedups pairs that co-occur under
     several keys.
+
+    ``cache_keys``: the stop-list aggregation and the anti-join/self-join
+    branches each rescan the ``keys`` subtree (measured: 2x execution of
+    a UDF feeding ``keys``). When keys embed a Python stage — the LSH
+    bands pandas UDF in ``dedup.minhash_near_dup_pairs`` — that doubles
+    the dominant featurization cost, so the hashed key table is persisted
+    by default (16-byte rows, MEMORY_AND_DISK). Pass ``False`` when keys
+    scan straight from a checkpointed stage snapshot (the pipeline path):
+    rescanning columnar files twice is cheaper than pinning a 10^12-row
+    key table to executor storage.
     """
     # Stop keys are found by a two-phase groupBy().count() — partial
     # (map-side) aggregation collapses a hot key to one partial row per
@@ -295,6 +305,10 @@ def candidate_pairs(
     # candidate generator, so the extra pairs are filtered by exact
     # scoring downstream, same as any other block co-occurrence.
     hashed = keys.select(F.xxhash64("key").alias("key"), "url")
+    if cache_keys:
+        from pyspark import StorageLevel
+
+        hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
     stop = (
         hashed.groupBy("key")
         .agg(F.count("*").alias("block_size"))

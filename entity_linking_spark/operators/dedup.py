@@ -11,8 +11,6 @@ touches candidate pairs, never the full cross product.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -21,6 +19,7 @@ from pyspark.sql.types import DoubleType, LongType
 
 from entity_linking_spark.functions.minhash import (
     N_PERM,
+    _token_hashes,
     est_jaccard,
     minhash_signature,
     minhash_signature_udf as _sig_udf,
@@ -70,21 +69,17 @@ SIMHASH_BITS = 64
 
 
 def simhash(tokens: list[str]) -> int:
-    """Classic 64-bit SimHash over token crc32x2 hashes (public algorithm).
+    """Classic 64-bit SimHash over token hashes (public algorithm).
 
+    Token hashing is shared with minhash (functions/minhash._token_hashes,
+    the crc32-forward/crc32-reversed scheme and its entropy rationale live
+    there once — a fix to the hash must not have to land in two places).
     Vectorized: token hashes land in a uint64 array, np.unpackbits expands
     them to a [n_tokens, 64] bit matrix in C, and the per-bit +/-1 vote is
     one column sum — no 64-iteration Python inner loop per token."""
     if not tokens:
         return 0
-    hs = np.fromiter(
-        (
-            (zlib.crc32(b) << 32) | zlib.crc32(b[::-1] + b"\x01")
-            for b in (t.encode("utf-8") for t in tokens)
-        ),
-        dtype=np.uint64,
-        count=len(tokens),
-    )
+    hs = _token_hashes(tokens)
     # little-endian uint64 bytes + bitorder='little' => bits[:, i] == (h>>i)&1
     bits = np.unpackbits(
         hs.astype("<u8").view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"

@@ -95,7 +95,11 @@ def run_pipeline(
 
     def _pairs() -> DataFrame:
         keys = blocking.blocking_keys(docs, candidates)
-        return blocking.candidate_pairs(keys, max_block_size)
+        # cache_keys=False: docs/candidates are checkpointed stage
+        # snapshots, so the two scans of the keys subtree are cheap
+        # columnar re-reads — no Python stage to protect, and no reason
+        # to pin a corpus-sized key table to executor storage
+        return blocking.candidate_pairs(keys, max_block_size, cache_keys=False)
 
     pairs = io.run_stage(spark, workdir, "s4_pairs", _pairs, force)
 

@@ -31,7 +31,11 @@ _META = "_STAGE.json"
 
 
 def stage_format() -> str:
-    """Stage snapshot format (read per call so harnesses can switch)."""
+    """Stage snapshot format for NEW writes (read per call so harnesses
+    can switch). Reads never trust this alone: write_stage records the
+    format in the sidecar and read_stage prefers the recorded value, so
+    resuming a workdir under a different SPARK_GRAFT_TABLE_FORMAT reads
+    existing snapshots with the DataSource that actually wrote them."""
     return os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
 
 
@@ -49,21 +53,34 @@ def _parquet_lineage(path: str) -> dict[str, int]:
     A footer read is O(files), not O(rows): at 3k docs it replaced a full
     Spark read-back job per stage (~0.5-1 s of pure fixed cost x 6
     stages), and at 100 TB it reads a few KB per file instead of
-    re-scanning the stage output. pyarrow handles local and remote
-    filesystems (s3://, hdfs://) alike; if the footer read fails we fall
-    back to a Spark count so the sidecar is never silently wrong.
+    re-scanning the stage output. Remote stage paths (s3://, hdfs://)
+    go through pyarrow.fs.FileSystem.from_uri — same footer-only reads,
+    remote listing instead of os.walk; if the footer read fails (e.g.
+    missing credentials) we fall back to a Spark count so the sidecar is
+    never silently wrong.
     """
     import pyarrow.parquet as pq
 
     out: dict[str, int] = {}
-    # walk: partitionBy layouts nest files under key=value/ directories
-    for dirpath, _dirs, files in sorted(os.walk(path)):
-        for entry in sorted(files):
-            if entry.endswith(".parquet"):
-                rel = os.path.relpath(os.path.join(dirpath, entry), path)
-                out[rel] = pq.ParquetFile(
-                    os.path.join(dirpath, entry)
-                ).metadata.num_rows
+    if "://" in path:
+        from pyarrow import fs as pafs
+
+        filesystem, fs_path = pafs.FileSystem.from_uri(path)
+        infos = filesystem.get_file_info(pafs.FileSelector(fs_path, recursive=True))
+        for info in sorted(infos, key=lambda i: i.path):
+            if info.is_file and info.path.endswith(".parquet"):
+                rel = os.path.relpath(info.path, fs_path)
+                with filesystem.open_input_file(info.path) as f:
+                    out[rel] = pq.ParquetFile(f).metadata.num_rows
+    else:
+        # walk: partitionBy layouts nest files under key=value/ dirs
+        for dirpath, _dirs, files in sorted(os.walk(path)):
+            for entry in sorted(files):
+                if entry.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(dirpath, entry), path)
+                    out[rel] = pq.ParquetFile(
+                        os.path.join(dirpath, entry)
+                    ).metadata.num_rows
     if not out:
         raise FileNotFoundError(f"no parquet files under {path}")
     return out
@@ -94,6 +111,7 @@ def write_stage(df: DataFrame, root: str, name: str, partition_by: list[str] | N
         }
     meta = {
         "stage": name,
+        "format": fmt,
         "rows": sum(per_partition.values()),
         "seconds": round(time.time() - t0, 3),
         "partitions": per_partition,
@@ -105,7 +123,16 @@ def write_stage(df: DataFrame, root: str, name: str, partition_by: list[str] | N
 
 
 def read_stage(spark: SparkSession, root: str, name: str) -> DataFrame:
-    return spark.read.format(stage_format()).load(stage_path(root, name))
+    # prefer the format recorded at write time: a workdir written under
+    # one SPARK_GRAFT_TABLE_FORMAT must resume correctly even if the
+    # env var has since changed (sidecars from before the format seam
+    # carry no "format" key and fall back to the current setting)
+    fmt = stage_format()
+    try:
+        fmt = stage_meta(root, name).get("format", fmt)
+    except (OSError, json.JSONDecodeError):
+        pass
+    return spark.read.format(fmt).load(stage_path(root, name))
 
 
 def stage_meta(root: str, name: str) -> dict:

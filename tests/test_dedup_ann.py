@@ -107,6 +107,20 @@ def test_ivf_topk_finds_near_dups(spark, corpus):
     assert 102 in {r.neighbor_id for r in rows}
 
 
+def test_ivf_topk_coarse_sample_mod_falls_back(spark, corpus):
+    """A web-scale sample_mod on a small corpus can leave ZERO rows in
+    the centroid hash-sample; ivf_topk must fall back to the unfiltered
+    bottom-k-by-hash instead of crashing in np.stack."""
+    queries = corpus.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann.ivf_topk(
+        corpus, queries, k=4, n_cells=4, n_probe=2, sample_mod=1 << 20
+    )
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert rows[0].neighbor_id == 1 and rows[0].cos_sim == 1.0
+
+
 def test_lsh_recall_vs_bruteforce(spark):
     """On clustered embeddings (real-corpus geometry), LSH top-k recovers
     most of the exact top-k. Random isotropic vectors are NOT the LSH

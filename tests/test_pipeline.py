@@ -140,3 +140,24 @@ def test_stage_format_seam_orc(spark, tmp_path, monkeypatch):
     again = io.run_stage(spark, str(tmp_path), "s_orc", build)
     assert calls["n"] == 1
     assert again.count() == 100
+
+
+def test_stage_resume_survives_format_switch(spark, tmp_path, monkeypatch):
+    """A workdir written under one SPARK_GRAFT_TABLE_FORMAT must resume
+    correctly after the env var changes: the sidecar records the format
+    at write time and read_stage prefers it, so a parquet snapshot is
+    never fed to the ORC reader (which would die on a malformed footer
+    mid-'resumable' run)."""
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(50).selectExpr("id", "id * 3 AS trip")
+
+    monkeypatch.delenv("SPARK_GRAFT_TABLE_FORMAT", raising=False)
+    io.run_stage(spark, str(tmp_path), "s_fmt", build)  # parquet write
+    assert io.stage_meta(str(tmp_path), "s_fmt")["format"] == "parquet"
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_FORMAT", "orc")
+    resumed = io.run_stage(spark, str(tmp_path), "s_fmt", build)
+    assert calls["n"] == 1  # skipped, not rebuilt
+    assert resumed.count() == 50  # and read with the RECORDED format
