@@ -45,6 +45,7 @@ def main() -> None:
         "ann_cosine_topk",
         "ngram_jaccard_similarity",
         "dedup_minhash_pairs",
+        "j5_bm25_topk",
     ]
     all_q = Q.all_queries()
     times: dict[str, float] = {}

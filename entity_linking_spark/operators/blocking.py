@@ -184,11 +184,21 @@ def candidate_entities(
     reference's 南京南站-style hot keys, SURVEY §4)."""
     # normalize the alias side with the SAME frozen normalizer that
     # produced the mention strings, or hyphen/punct variants never join
+    from pyspark import StorageLevel
+
     from entity_linking_spark.functions.normalize import normalize_udf
 
     alias_norm = aliases.select(
         normalize_udf(F.col("alias")).alias("alias"), F.col("subject_id")
     ).where(F.col("alias") != "")
+    # persist: without it Catalyst evaluates the normalize UDF FOUR times
+    # in this plan (the empty-string filter re-evaluates it under the
+    # projection, on BOTH the join branch and the ambiguity branch —
+    # verified in the physical plan: 2x stacked ArrowEvalPython per
+    # branch). The alias table is the bounded small dimension (aliases x
+    # entities, ~GBs at full KB scale), so caching it is the intended
+    # design; the UDF now runs once per alias row total.
+    alias_norm = alias_norm.persist(StorageLevel.MEMORY_AND_DISK)
     ambiguity = alias_norm.groupBy("alias").agg(
         F.countDistinct("subject_id").alias("n_ids")
     )
