@@ -97,3 +97,32 @@ def test_tokenize_batch_identical_to_per_doc():
     got = tokenize_batch(cases)
     for t, g in zip(cases, got):
         assert g == (basic_tokenize(t) if t is not None else None), t
+
+
+# --- hypothesis property tests (frozen-normalizer invariants) ------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=120))
+def test_tokenize_is_idempotent(t):
+    """Re-normalizing already-normalized text is a no-op: mention strings
+    normalized on different paths (alias side vs mention side) must land
+    on the same key, however many times the normalizer ran."""
+    once = basic_tokenize(t)
+    assert basic_tokenize(" ".join(once)) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=80)), max_size=6))
+def test_tokenize_batch_property(batch):
+    """The megastring ASCII batch path equals per-doc basic_tokenize for
+    ARBITRARY unicode batches (hypothesis-generated), not just the
+    hand-picked cases above — NULs, controls, surrogata-adjacent chars,
+    mixed scripts, empties, None."""
+    from entity_linking_spark.functions.normalize import tokenize_batch
+
+    got = tokenize_batch(batch)
+    assert got == [basic_tokenize(t) if t is not None else None for t in batch]
