@@ -3,12 +3,13 @@
 Image/audio/video payloads ride as `binary` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as
 mapInPandas stages with real schemas, partitioning, and Arrow batch
-shapes. The decode kernels themselves are STUBBED behind
-``_require_codec`` (the container ships no image/audio libraries — the
-stub raises NotImplementedError unless the deterministic fake codec is
-requested), but everything Spark-side is real and tested:
-schema contracts, batch iteration, per-row error channeling, partition
-preservation.
+shapes. Two decode kernels are REAL stdlib implementations — codec='wav'
+(RIFF/PCM audio via `wave`) and codec='bmp' (24-bit uncompressed images
+via `struct`) — while compressed formats are honestly STUBBED behind
+``_require_codec`` (the container ships no PIL/ffmpeg; the stub raises
+NotImplementedError unless the deterministic fake codec is requested).
+Everything Spark-side is real and tested: schema contracts, batch
+iteration, per-row error channeling, partition preservation.
 
 Deterministic fake codec: payload bytes are interpreted as a seeded
 byte pattern (media_kind, width, height, ...) so tests exercise the full
@@ -63,11 +64,14 @@ def encode_fake_media(kind: str, width: int, height: int, seed: int) -> bytes:
 
 
 def _require_codec(kind: str) -> None:
-    """Real image/video decode needs a codec library the container lacks."""
+    """Compressed image/video decode needs a codec library the container
+    lacks (uncompressed formats have real stdlib paths: wav, bmp)."""
     raise NotImplementedError(
-        f"real {kind} decoding requires a codec library (PIL/ffmpeg) not "
-        "present in this environment; use codec='wav' for real PCM audio "
-        "or codec='fake' for the deterministic test codec"
+        f"real {kind} decoding for compressed formats requires a codec "
+        "library (PIL/ffmpeg) not present in this environment; use "
+        "codec='wav' for real PCM audio, codec='bmp' for real "
+        "uncompressed images, or codec='fake' for the deterministic "
+        "test codec"
     )
 
 
@@ -118,17 +122,68 @@ def _decode_wav(payload: bytes) -> np.ndarray:
     return arr[idx].astype(np.float32)
 
 
+def encode_bmp_media(width: int, height: int, seed: int = 0) -> bytes:
+    """A real 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up,
+    4-byte row padding) with deterministic seeded pixels — test/fixture
+    generator for the genuine bmp decode path. Pure struct packing."""
+    rng = np.random.RandomState(seed)
+    pixels = rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+    row_size = (width * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up row order
+        row = pixels[y, :, ::-1].tobytes()  # BGR on disk
+        body += row + b"\x00" * (row_size - len(row))
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + info + bytes(body)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL image decode: 24-bit uncompressed BMP via stdlib struct —
+    no codec library. Grayscales, stride-samples to an 8x8 grid, scales
+    to [0, 1]; 64 feature floats (or fewer for tiny images)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or compression != 0 or bpp != 24:
+        raise ValueError(
+            f"unsupported BMP variant (bpp={bpp}, compression={compression})"
+        )
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate BMP dimensions")
+    row_size = (width * 3 + 3) & ~3
+    if len(payload) < data_offset + row_size * height:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * height, offset=data_offset
+    ).reshape(height, row_size)[:, : width * 3].reshape(height, width, 3)
+    if not top_down:
+        rows = rows[::-1]
+    gray = rows.astype(np.float32).mean(axis=2) / 255.0  # BGR -> gray
+    ys = np.linspace(0, height - 1, num=min(8, height)).round().astype(int)
+    xs = np.linspace(0, width - 1, num=min(8, width)).round().astype(int)
+    return gray[np.ix_(ys, xs)].ravel().astype(np.float32)
+
+
 def decode_media(payload: bytes, kind: str, codec: str = "fake") -> np.ndarray:
     """payload -> float32 feature array.
 
     codec='wav'  — REAL decode of RIFF/WAVE PCM audio (stdlib).
+    codec='bmp'  — REAL decode of 24-bit uncompressed BMP images (stdlib).
     codec='fake' — deterministic test codec (full plumbing, fake bytes).
-    anything else is stubbed behind ``_require_codec`` (no image/video
-    codec library ships in this container)."""
+    anything else is stubbed behind ``_require_codec`` (no compressed
+    image/video codec library ships in this container)."""
     if payload is None:
         raise ValueError("null payload")
     if codec == "wav":
         return _decode_wav(payload)
+    if codec == "bmp":
+        return _decode_bmp(payload)
     if codec != "fake":
         _require_codec(kind)
     if not payload.startswith(FAKE_MAGIC):

@@ -86,3 +86,45 @@ def test_wav_codec_real_decode(spark):
     assert np.allclose(out["w1"].features, expected)
     assert len(out["w2"].features) == 10
     assert out["bad"].features is None and out["bad"].decode_error
+
+
+def test_bmp_codec_real_decode(spark):
+    """codec='bmp' is a REAL decode path: stdlib struct parses the
+    BITMAPINFOHEADER and the features are the grayscale 8x8 grid of the
+    actual pixels (bottom-up rows, BGR order, 4-byte row padding)."""
+    import numpy as np
+
+    payload = mm.encode_bmp_media(width=11, height=9, seed=5)
+    local = mm.decode_media(payload, "image", codec="bmp")
+    # recompute from the generator's own pixel array
+    rng = np.random.RandomState(5)
+    pixels = rng.randint(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    gray = pixels.astype(np.float32).mean(axis=2) / 255.0
+    ys = np.linspace(0, 8, num=8).round().astype(int)
+    xs = np.linspace(0, 10, num=8).round().astype(int)
+    assert np.allclose(local, gray[np.ix_(ys, xs)].ravel(), atol=1e-6)
+    # tiny image -> fewer than 64 features, still exact
+    tiny = mm.decode_media(mm.encode_bmp_media(2, 3, seed=1), "image", codec="bmp")
+    assert tiny.shape == (6,)
+    # through the Spark stage with a poison row channeled per-row
+    rows = [
+        Row(media_id="i1", kind="image", payload=payload),
+        Row(media_id="bad", kind="image", payload=b"BMnot-a-real-bmp"),
+    ]
+    out = {r.media_id: r for r in
+           mm.with_media_features(spark.createDataFrame(rows), codec="bmp").collect()}
+    assert np.allclose(out["i1"].features, local)
+    assert out["bad"].features is None and "BMP" in out["bad"].decode_error
+
+
+def test_bmp_rejects_unsupported_variants():
+    import struct as _s
+
+    import pytest as _pt
+
+    payload = bytearray(mm.encode_bmp_media(4, 4, seed=0))
+    _s.pack_into("<H", payload, 28, 8)  # bpp=8 (palette) unsupported
+    with _pt.raises(ValueError, match="unsupported BMP"):
+        mm._decode_bmp(bytes(payload))
+    with _pt.raises(ValueError, match="truncated"):
+        mm._decode_bmp(bytes(mm.encode_bmp_media(4, 4, seed=0))[:-8])
