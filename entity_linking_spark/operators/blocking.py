@@ -234,10 +234,17 @@ def blocking_keys(
     """
     parts = []
     if use_host:
+        # try_parse_url, NOT parse_url: Spark 4's parse_url THROWS on an
+        # invalid URL (INVALID_URL), so one malformed crawl url would
+        # kill the whole blocking stage; try_ returns NULL and the
+        # isNotNull filter drops the row from host-blocking (it still
+        # blocks via its other keys) — P2's drop-unusable-rows semantics
         parts.append(
             docs.select(
                 "url",
-                F.concat(F.lit("host:"), F.parse_url("url", F.lit("HOST"))).alias("key"),
+                F.concat(
+                    F.lit("host:"), F.try_parse_url("url", F.lit("HOST"))
+                ).alias("key"),
             ).where(F.col("key").isNotNull())
         )
     if use_entity:

@@ -494,8 +494,10 @@ def f7_f10_f11_f12_f16_scalar_chain(spark, sf_dir):
     F10 idx.split('curid=')[-1] -> int (main_dense.py:130-135),
     F11 URL host parse + percent-unquote of the link path
         (process_wiki_extractor_output_links.py:53,86-88,104-114) — the
-        normalized-URL-host blocking key; parse_url/url_decode run
-        JVM-side, the oracle replays them with split/replace,
+        normalized-URL-host blocking key; try_parse_url /
+        try_url_decode run JVM-side (the try_ forms: a malformed crawl
+        url must yield NULL, never kill the stage), the oracle replays
+        them with split/replace,
     F12 join non-empty lines (data_ingestion.py:113-116),
     F16 log(1+num_incoming_links) boost (candidate_generators.py:127)."""
     d = _t(spark, sf_dir, "documents")
@@ -514,8 +516,8 @@ def f7_f10_f11_f12_f16_scalar_chain(spark, sf_dir):
             "doc_id",
             F.substring("text", 1, 100).alias("snippet"),
             F.element_at(F.split(url, "curid="), -1).cast("long").alias("curid"),
-            F.parse_url(wurl, F.lit("HOST")).alias("host"),
-            F.url_decode(F.parse_url(wurl, F.lit("PATH"))).alias("link_path"),
+            F.try_parse_url(wurl, F.lit("HOST")).alias("host"),
+            F.try_url_decode(F.try_parse_url(wurl, F.lit("PATH"))).alias("link_path"),
             F.concat_ws(
                 " ", F.filter(F.split(F.col("text"), " "), lambda x: x != "")
             ).alias("joined"),

@@ -80,3 +80,26 @@ def test_minhash_bands_identical_texts_collide(spark):
     )
     pairs = blocking.candidate_pairs(keys).collect()
     assert [(r.url_a, r.url_b) for r in pairs] == [("a", "b")]
+
+
+def test_blocking_keys_drop_null_host_keys(spark):
+    """P2 analog (candidate_generators.py:112-116): docs whose url has no
+    parseable host yield NO host: key (parse_url -> NULL, dropped by the
+    isNotNull filter) instead of a null-key block that would union every
+    malformed-url doc into one giant bogus blocking group."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(url="https://a.example.org/x", tokens=["t1", "t2", "t3"]),
+            Row(url="not a url at all", tokens=["t4", "t5", "t6"]),
+        ]
+    )
+    keys = blocking.blocking_keys(
+        docs, candidates=None, use_host=True, use_entity=False, use_minhash=True
+    ).collect()
+    host_keys = [r for r in keys if r.key.startswith("host:")]
+    assert [r.url for r in host_keys] == ["https://a.example.org/x"]
+    assert all(r.key is not None for r in keys)
+    # the malformed-url doc still blocks via its minhash bands
+    assert any(r.url == "not a url at all" and r.key.startswith("mh:") for r in keys)
