@@ -15,9 +15,12 @@ Per-executor resources are held constant across configs (1 core +
 pins the JVM's GC/JIT view), so 4N brings 4x cores AND 4x memory, like
 adding real executors does.
 
-Usage: python tools/cluster_scaling_bench.py [n_docs] [n_workers] [reps]
-(reps alternate 1-worker / n-worker runs; min per config — the host
-throttles in bursts, see BENCH/BASELINE.md.)
+Usage: python tools/cluster_scaling_bench.py [n_docs] [n_workers] [reps] [base_workers]
+(reps alternate base-worker / n-worker runs; min per config — the host
+throttles in bursts, see BENCH/BASELINE.md. base_workers defaults to 1;
+pass e.g. 2 with n_workers=8 to measure N=2 -> 4N=8 with BOTH configs in
+the multi-process regime — the truer N -> 4N executor analog on hosts
+whose serial and parallel throughput degrade differently.)
 """
 
 from __future__ import annotations
@@ -95,6 +98,9 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1000000
     n_workers = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    base_workers = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    assert n_workers % base_workers == 0, "n_workers must be a multiple of base_workers"
+    factor = n_workers // base_workers
     base = f"/tmp/el_scaling_{n_docs}"
     sys.path.insert(0, os.path.join(REPO, "tools"))
     from scaling_bench import prep_input
@@ -103,23 +109,29 @@ def main() -> None:
 
     runs_1, runs_w = [], []
     for rep in range(reps):
-        r1 = run_at(1, docs_path, aliases_path, base)
+        r1 = run_at(base_workers, docs_path, aliases_path, base)
         rw = run_at(n_workers, docs_path, aliases_path, base)
         runs_1.append(r1)
         runs_w.append(rw)
         print(
-            json.dumps({"rep": rep, "W1": r1["seconds"], f"W{n_workers}": rw["seconds"]}),
+            json.dumps(
+                {
+                    "rep": rep,
+                    f"W{base_workers}": r1["seconds"],
+                    f"W{n_workers}": rw["seconds"],
+                }
+            ),
             flush=True,
         )
     r1 = min(runs_1, key=lambda r: r["seconds"])
     rw = min(runs_w, key=lambda r: r["seconds"])
-    eff = (rw["docs_per_sec"] / r1["docs_per_sec"]) / n_workers
+    eff = (rw["docs_per_sec"] / r1["docs_per_sec"]) / factor
     print(
         json.dumps(
             {
                 "model": "single-job local-cluster (separate executor JVMs)",
                 "n_docs": n_docs,
-                "workers_N": 1,
+                "workers_N": base_workers,
                 "workers_4N": n_workers,
                 "seconds_N": r1["seconds"],
                 "seconds_4N": rw["seconds"],
