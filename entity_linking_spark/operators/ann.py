@@ -206,25 +206,23 @@ def ivf_topk(
     # partition, not the corpus. Selection is by xxhash64 order, so the
     # sample is independent of partitioning (FIXTURES.md determinism).
     target = n_cells * 32
-    s = corpus.select(id_col, vec_col).withColumn(
+    base = corpus.select(id_col, vec_col).withColumn(
         "_h", F.xxhash64(F.col(id_col))
     )
+
+    def _bottom_k(df):
+        return df.orderBy("_h").limit(target).drop("_h").collect()
+
+    s = base
     if sample_mod > 1:
         s = s.where(F.pmod(F.col("_h"), F.lit(sample_mod)) == 0)
-    sample_rows = s.orderBy("_h").limit(target).drop("_h").collect()
+    sample_rows = _bottom_k(s)
     if not sample_rows and sample_mod > 1:
         # the modulus was too coarse for this corpus (a web-scale
         # sample_mod on a small table can leave zero rows at residue 0):
-        # fall back to the unfiltered bottom-k-by-hash — one extra job,
-        # still a per-partition heap, never a full sort
-        sample_rows = (
-            corpus.select(id_col, vec_col)
-            .withColumn("_h", F.xxhash64(F.col(id_col)))
-            .orderBy("_h")
-            .limit(target)
-            .drop("_h")
-            .collect()
-        )
+        # fall back to the unfiltered bottom-k-by-hash over the SAME base
+        # — one extra job, still a per-partition heap, never a full sort
+        sample_rows = _bottom_k(base)
     if not sample_rows:
         raise ValueError("ivf_topk: empty corpus, cannot seed centroids")
     sample_rows.sort(key=lambda r: r[0])  # seed order independent of plan

@@ -171,7 +171,10 @@ def detect_mentions(
 
 
 def candidate_entities(
-    mentions: DataFrame, aliases: DataFrame, max_ambiguity: int = 16
+    mentions: DataFrame,
+    aliases: DataFrame,
+    max_ambiguity: int = 16,
+    pre_normalized: bool = False,
 ) -> DataFrame:
     """J1: equi hash join mention -> candidate subject_ids, with per-alias
     ambiguity (how many entities share the alias — the disambiguation
@@ -183,22 +186,34 @@ def candidate_entities(
     would multiply the candidate table by its entity count (the
     reference's 南京南站-style hot keys, SURVEY §4)."""
     # normalize the alias side with the SAME frozen normalizer that
-    # produced the mention strings, or hyphen/punct variants never join
-    from pyspark import StorageLevel
+    # produced the mention strings, or hyphen/punct variants never join.
+    #
+    # ``pre_normalized``: callers that invoke this repeatedly against ONE
+    # alias table (the streaming micro-batch loop) normalize + persist it
+    # themselves ONCE and pass True — otherwise every call would pin a
+    # fresh cached copy of the full alias table (persist below) until
+    # driver GC collects the dropped reference.
+    if pre_normalized:
+        alias_norm = aliases
+    else:
+        from pyspark import StorageLevel
 
-    from entity_linking_spark.functions.normalize import normalize_udf
+        from entity_linking_spark.functions.normalize import normalize_udf
 
-    alias_norm = aliases.select(
-        normalize_udf(F.col("alias")).alias("alias"), F.col("subject_id")
-    ).where(F.col("alias") != "")
-    # persist: without it Catalyst evaluates the normalize UDF FOUR times
-    # in this plan (the empty-string filter re-evaluates it under the
-    # projection, on BOTH the join branch and the ambiguity branch —
-    # verified in the physical plan: 2x stacked ArrowEvalPython per
-    # branch). The alias table is the bounded small dimension (aliases x
-    # entities, ~GBs at full KB scale), so caching it is the intended
-    # design; the UDF now runs once per alias row total.
-    alias_norm = alias_norm.persist(StorageLevel.MEMORY_AND_DISK)
+        alias_norm = aliases.select(
+            normalize_udf(F.col("alias")).alias("alias"), F.col("subject_id")
+        ).where(F.col("alias") != "")
+        # persist: without it Catalyst evaluates the normalize UDF FOUR
+        # times in this plan (the empty-string filter re-evaluates it
+        # under the projection, on BOTH the join branch and the ambiguity
+        # branch — verified in the physical plan: 2x stacked
+        # ArrowEvalPython per branch). The alias table is the bounded
+        # small dimension (aliases x entities, ~GBs at full KB scale), so
+        # caching it is the intended design; the UDF runs once per alias
+        # row total. The cache is released when the returned plan's
+        # references are GC'd (ContextCleaner) — single-shot pipelines
+        # call this once, so nothing accumulates.
+        alias_norm = alias_norm.persist(StorageLevel.MEMORY_AND_DISK)
     ambiguity = alias_norm.groupBy("alias").agg(
         F.countDistinct("subject_id").alias("n_ids")
     )
@@ -294,7 +309,11 @@ def candidate_pairs(
     by default (16-byte rows, MEMORY_AND_DISK). Pass ``False`` when keys
     scan straight from a checkpointed stage snapshot (the pipeline path):
     rescanning columnar files twice is cheaper than pinning a 10^12-row
-    key table to executor storage.
+    key table to executor storage. The cache has no explicit unpersist
+    (the plan is returned lazily); it is released when the returned
+    DataFrame's references are GC'd (ContextCleaner) — loop-heavy callers
+    that invoke this many times per session should pass cache_keys=False
+    and persist their keys input themselves.
     """
     # Stop keys are found by a two-phase groupBy().count() — partial
     # (map-side) aggregation collapses a hot key to one partial row per

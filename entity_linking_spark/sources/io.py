@@ -43,8 +43,53 @@ def stage_path(root: str, name: str) -> str:
     return os.path.join(root, name)
 
 
+# Scheme-qualified workdirs (s3://, hdfs://) route every sidecar
+# operation through pyarrow.fs so resume/lineage work end-to-end on a
+# remote filesystem, not just the parquet-footer reads: the sidecar
+# write, the skip-if-exists probe, and the meta read all share the
+# branch below. (Spark's own writer already handles remote stage data
+# via its Hadoop filesystems.)
+
+
+def _is_remote(path: str) -> bool:
+    return "://" in path
+
+
+def _sidecar_write(path: str, meta: dict) -> None:
+    data = json.dumps(meta, indent=1)
+    if _is_remote(path):
+        from pyarrow import fs as pafs
+
+        filesystem, p = pafs.FileSystem.from_uri(path)
+        with filesystem.open_output_stream(p) as f:
+            f.write(data.encode())
+    else:
+        with open(path, "w") as f:
+            f.write(data)
+
+
+def _sidecar_read(path: str) -> dict:
+    if _is_remote(path):
+        from pyarrow import fs as pafs
+
+        filesystem, p = pafs.FileSystem.from_uri(path)
+        with filesystem.open_input_file(p) as f:
+            return json.loads(f.read().decode())
+    with open(path) as f:
+        return json.load(f)
+
+
+def _exists(path: str) -> bool:
+    if _is_remote(path):
+        from pyarrow import fs as pafs
+
+        filesystem, p = pafs.FileSystem.from_uri(path)
+        return filesystem.get_file_info(p).type != pafs.FileType.NotFound
+    return os.path.exists(path)
+
+
 def stage_complete(root: str, name: str) -> bool:
-    return os.path.exists(os.path.join(stage_path(root, name), _META))
+    return _exists(os.path.join(stage_path(root, name), _META))
 
 
 def _parquet_lineage(path: str) -> dict[str, int]:
@@ -117,8 +162,7 @@ def write_stage(df: DataFrame, root: str, name: str, partition_by: list[str] | N
         "partitions": per_partition,
         "schema": df.schema.simpleString(),
     }
-    with open(os.path.join(path, _META), "w") as f:
-        json.dump(meta, f, indent=1)
+    _sidecar_write(os.path.join(path, _META), meta)
     return meta
 
 
@@ -139,8 +183,7 @@ def stage_meta(root: str, name: str) -> dict:
     """The _STAGE.json sidecar (rows / seconds / per-partition lineage) —
     lets callers answer "how many rows did stage X emit" without a Spark
     job over the snapshot."""
-    with open(os.path.join(stage_path(root, name), _META)) as f:
-        return json.load(f)
+    return _sidecar_read(os.path.join(stage_path(root, name), _META))
 
 
 def run_stage(

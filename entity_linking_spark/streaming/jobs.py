@@ -168,12 +168,26 @@ def streaming_link_microbatch(
     """foreachBatch incremental linkage: per micro-batch, run mention
     detection + candidate generation on the new pages and append the
     candidate table (reference service loop, service_main.py:93-175,
-    re-expressed as micro-batches)."""
+    re-expressed as micro-batches).
+
+    The alias table is normalized + persisted ONCE here, outside the
+    batch loop (pre_normalized=True below): calling candidate_entities's
+    default path per micro-batch would pin a fresh cached copy of the
+    full alias table every batch until driver GC catches up."""
+    from pyspark import StorageLevel
+
+    from entity_linking_spark.functions.normalize import normalize_udf
     from entity_linking_spark.operators import blocking
+
+    alias_norm = (
+        aliases.select(normalize_udf(F.col("alias")).alias("alias"), "subject_id")
+        .where(F.col("alias") != "")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         mentions = blocking.detect_mentions(batch_df, alias_list)
-        cands = blocking.candidate_entities(mentions, aliases)
+        cands = blocking.candidate_entities(mentions, alias_norm, pre_normalized=True)
         cands.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
             sink_path
         )

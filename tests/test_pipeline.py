@@ -161,3 +161,24 @@ def test_stage_resume_survives_format_switch(spark, tmp_path, monkeypatch):
     resumed = io.run_stage(spark, str(tmp_path), "s_fmt", build)
     assert calls["n"] == 1  # skipped, not rebuilt
     assert resumed.count() == 50  # and read with the RECORDED format
+
+
+def test_stage_io_scheme_qualified_workdir(spark, tmp_path):
+    """A scheme-qualified workdir exercises the pyarrow.fs branch for
+    EVERY sidecar operation (write, skip-if-exists probe, meta read,
+    footer lineage) — file:// locally stands in for s3://; the code path
+    is identical (FileSystem.from_uri)."""
+    root = "file://" + str(tmp_path)
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(40).selectExpr("id", "id + 1 AS nxt")
+
+    out = io.run_stage(spark, root, "s_remote", build)
+    assert out.count() == 40
+    meta = io.stage_meta(root, "s_remote")
+    assert meta["rows"] == 40 and meta["partitions"]  # footer lineage ran
+    assert io.stage_complete(root, "s_remote")
+    again = io.run_stage(spark, root, "s_remote", build)
+    assert calls["n"] == 1 and again.count() == 40  # remote resume works

@@ -99,7 +99,9 @@ def main() -> None:
     n_workers = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     base_workers = int(sys.argv[4]) if len(sys.argv) > 4 else 1
-    assert n_workers % base_workers == 0, "n_workers must be a multiple of base_workers"
+    assert (
+        n_workers % base_workers == 0 and n_workers > base_workers
+    ), "n_workers must be a strict multiple of base_workers"
     factor = n_workers // base_workers
     base = f"/tmp/el_scaling_{n_docs}"
     sys.path.insert(0, os.path.join(REPO, "tools"))
@@ -132,11 +134,12 @@ def main() -> None:
                 "model": "single-job local-cluster (separate executor JVMs)",
                 "n_docs": n_docs,
                 "workers_N": base_workers,
-                "workers_4N": n_workers,
+                "workers_scaled": n_workers,
+                "scale_factor": factor,
                 "seconds_N": r1["seconds"],
-                "seconds_4N": rw["seconds"],
+                "seconds_scaled": rw["seconds"],
                 "throughput_N": r1["docs_per_sec"],
-                "throughput_4N": rw["docs_per_sec"],
+                "throughput_scaled": rw["docs_per_sec"],
                 "scaling_efficiency": round(eff, 3),
                 "meets_0.8": eff >= 0.8,
             }
