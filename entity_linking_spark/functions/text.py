@@ -63,6 +63,52 @@ def lang_guess(text: Column) -> Column:
     )
 
 
+# Distinctive function-word profiles per latin-script language (public
+# stopword lists, trimmed to words that rarely collide across the six):
+# the unigram special case of the classic n-gram-profile language
+# identifier (Cavnar & Trenkle '94) — function words are the
+# highest-frequency n-grams, and counting them is expressible as pure
+# Column ops (JVM, no UDF).
+LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+           "mit", "von", "zu", "auf", "dem", "den", "sich"),
+    "en": ("the", "and", "of", "is", "was", "are", "have", "not",
+           "with", "this", "that", "from", "they"),
+    "es": ("el", "los", "las", "es", "una", "por", "del", "se",
+           "como", "pero", "sus", "muy", "está"),
+    "fr": ("le", "les", "des", "est", "dans", "une", "pas", "pour",
+           "qui", "avec", "sur", "au", "ses", "être"),
+    "it": ("il", "gli", "della", "di", "non", "sono", "anche", "più",
+           "nella", "questo", "alla", "essere"),
+    "pt": ("o", "os", "as", "um", "uma", "não", "em", "do", "da",
+           "com", "para", "mais", "são"),
+}
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-profile language ID over latin-script text: count each
+    language's marker-word hits, emit the argmax (ties -> the
+    lexicographically later code via struct comparison — deterministic),
+    'und' when no marker hits at all (combine with lang_guess for the
+    script-level fallback). Pure Column expressions, whole-stage codegen."""
+    toks = F.split(F.lower(text), r"\s+")
+
+    def _hits(markers):
+        # closure, NOT a default arg: a 2-arg lambda would make Spark
+        # treat it as the (element, index) higher-order-function form
+        return lambda t: t.isin(*markers)
+
+    entries = [
+        F.struct(
+            F.size(F.filter(toks, _hits(markers))).alias("n"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
 def content_fingerprint(text: Column) -> Column:
     """Order-insensitive content signature: md5 of sorted distinct tokens."""
     return F.md5(

@@ -652,24 +652,21 @@ def dedup_exact_keep_first(spark, sf_dir):
 
 @query(
     "text_analysis_suite",
-    """SELECT doc_id,
-              len(string_split(text, ' ')) AS num_tokens,
-              len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens,
-              round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_word_len,
-              round(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','and','on','of'))) AS DOUBLE)
-                    / len(string_split(text, ' ')), 4) AS stopword_ratio,
-              CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) * 2 > len(regexp_extract_all(text, '[a-zA-Z]'))
-                   THEN 'cjk' ELSE 'latin' END AS script_guess,
-              md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
-       FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+    None,  # oracle attached below — built from the SAME marker table as
+    # the Spark side (functions/text.LANG_MARKERS), so the two cannot drift
 )
 def text_analysis_suite(spark, sf_dir):
     """Text-analysis suite, one pass per doc (training-data ops +
     SURVEY A11): whitespace token count (A11,
     process_wiki_extractor_output_full.py:71-72), BPE-ish regex token
     count, avg word length + stopword ratio (quality scoring), CJK/Latin
-    script guess (lang-id heuristic), and an order-insensitive content
-    fingerprint (md5 of sorted distinct tokens) for dedup."""
+    script guess, stopword-profile language ID (the unigram n-gram-
+    profile identifier, functions/text.lang_id — argmax of marker-word
+    hits across six latin-script languages, 'und' on zero hits), and an
+    order-insensitive content fingerprint (md5 of sorted distinct
+    tokens) for dedup."""
+    from entity_linking_spark.functions.text import lang_id
+
     d = _t(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     stop = F.filter(words, lambda x: x.isin("the", "a", "and", "on", "of"))
@@ -692,6 +689,7 @@ def text_analysis_suite(spark, sf_dir):
             F.when(cjk * 2 > latin, F.lit("cjk"))
             .otherwise(F.lit("latin"))
             .alias("script_guess"),
+            lang_id(F.col("text")).alias("lang_id"),
             F.md5(
                 F.concat_ws(
                     " ",
@@ -703,6 +701,45 @@ def text_analysis_suite(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _text_suite_oracle() -> str:
+    """DuckDB twin of text_analysis_suite, with the lang-id marker lists
+    interpolated from functions/text.LANG_MARKERS (single source of
+    truth). Tie-break parity: Spark's array_max over (n, lang) structs
+    picks the lexicographically LATER lang code on equal counts, so the
+    CASE probes codes in descending order."""
+    from entity_linking_spark.functions.text import LANG_MARKERS
+
+    counts = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        inlist = ", ".join("'" + w.replace("'", "''") + "'" for w in markers)
+        counts.append(
+            f"len(list_filter(string_split(lower(text), ' '), "
+            f"t -> t IN ({inlist}))) AS c_{lang}"
+        )
+    langs_desc = sorted(LANG_MARKERS, reverse=True)
+    mx = "greatest(" + ", ".join(f"c_{lang}" for lang in sorted(LANG_MARKERS)) + ")"
+    case = "CASE WHEN " + mx + " = 0 THEN 'und' " + " ".join(
+        f"WHEN c_{lang} = {mx} THEN '{lang}'" for lang in langs_desc[:-1]
+    ) + f" ELSE '{langs_desc[-1]}' END"
+    return f"""
+WITH c AS (SELECT *, {", ".join(counts)} FROM documents)
+SELECT doc_id,
+       len(string_split(text, ' ')) AS num_tokens,
+       len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens,
+       round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_word_len,
+       round(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','and','on','of'))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS stopword_ratio,
+       CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) * 2 > len(regexp_extract_all(text, '[a-zA-Z]'))
+            THEN 'cjk' ELSE 'latin' END AS script_guess,
+       {case} AS lang_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+FROM c WHERE doc_id < 200 ORDER BY doc_id
+"""
+
+
+_ORACLES["text_analysis_suite"] = _text_suite_oracle()
 
 
 @query(

@@ -67,3 +67,27 @@ def test_rolling_hash(spark):
         "id", T.rolling_hash_udf(F.col("text")).alias("h")).collect()}
     assert out[1] == out[2]           # min window hash robust to tail edits
     assert out[3] is not None
+
+
+def test_lang_id_stopword_profiles(spark):
+    """Stopword-profile language ID picks the right language for real
+    sentences in each of the six profiled languages, and falls back to
+    'und' when no marker hits (non-latin or bare noun soup)."""
+    from pyspark.sql import Row
+
+    from entity_linking_spark.functions.text import lang_id
+
+    cases = [
+        ("en", "the cat sat on the mat and this is not surprising"),
+        ("de", "der hund ist nicht mit der katze auf dem sofa"),
+        ("fr", "le chat est dans la maison avec une souris pour jouer"),
+        ("es", "el perro es muy grande pero los gatos son pequeños como sus amigos"),
+        ("it", "il gatto non è della casa ma sono anche questo più bello"),
+        ("pt", "o cachorro não está em casa com o gato para brincar são amigos"),
+        ("und", "橋 水 山"),
+        ("und", "quartz zebra xylophone"),
+    ]
+    df = spark.createDataFrame([Row(want=w, text=t) for w, t in cases])
+    got = df.select("want", lang_id(F.col("text")).alias("got")).collect()
+    for r in got:
+        assert r.got == r.want, (r.want, r.got)
