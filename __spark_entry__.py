@@ -5,7 +5,7 @@ entry(spark)   — flagship: near-duplicate clustering of the sf0.001
                  connected components), the web-scale linkage slice.
 queries()      — one entry per implemented operator from SURVEY.md §2
                  (see entity_linking_spark/plans/queries.py). Every entry
-                 is oracle-backed except the six custom vectorized
+                 is oracle-backed except the three custom vectorized
                  operators appended LAST (deliberate ordering: the
                  correctness gate evaluates entries in registration order,
                  so all oracle-backed queries land inside the gated
@@ -168,14 +168,16 @@ def _rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed operator queries first (plans/queries.py + the
-    flagship and rolling-fingerprint), then the four rows-only custom
-    vectorized operators."""
+    flagship, rolling-fingerprint, and simhash), then the three
+    rows-only custom vectorized operators."""
     out = Q.all_queries()
     out["minhash_near_dup_clusters"] = _doc_clusters
     out["rolling_fingerprint"] = _rolling_fingerprint
+    # oracle-backed since round 3: the DuckDB twin replays crc32 with a
+    # table-driven fold and reproduces the simhash bit votes exactly
+    out["dedup_simhash_pairs"] = _dedup_simhash
     # non-SQL-expressible: rows-only checks (custom vectorized operators,
     # each pytest-verified; kept LAST so the oracle-gated window is full)
-    out["dedup_simhash_pairs"] = _dedup_simhash
     out["ann_lsh_topk"] = _ann_lsh
     out["ann_ivf_topk"] = _ann_ivf
     out["multimodal_decode_features"] = _multimodal_features
@@ -236,9 +238,63 @@ FROM w ORDER BY doc_id
 """
 
 
+def _simhash_oracle() -> str:
+    """DuckDB twin of dedup_simhash_pairs: replays the ENTIRE simhash
+    computation from first principles — crc32 via a table-driven
+    list_reduce fold (the 256-entry table is inlined; verified
+    bit-identical to zlib.crc32), the forward/reversed+terminator
+    64-bit token hash, per-bit +/-1 votes, the signed MSB flip — then
+    enumerates ALL pairs and applies the operator's exact contract:
+    share >=1 of the four 16-bit pigeonhole chunks AND hamming <= 8.
+
+    Corpus assumptions, both verified for the driver testdata: tokens ==
+    string_split(text, ' ') (the corpus is clean lowercase ASCII, so
+    BasicTokenizer is the identity on it) and bytes == codepoints (ASCII).
+    """
+    tab = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        tab.append(c)
+    TAB = "[" + ", ".join(map(str, tab)) + "]"
+    crc = (
+        "xor(list_reduce(list_prepend(4294967295, {col}), "
+        f"(a, x) -> xor(a // 256, ({TAB})[1 + xor(a % 256, x)])), 4294967295)"
+    )
+    return f"""
+WITH tk AS (SELECT CAST(doc_id AS VARCHAR) AS url, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+by_ AS (SELECT url, tok,
+         list_transform(string_split(tok, ''), c -> unicode(c)) AS fwd,
+         list_append(list_transform(string_split(reverse(tok), ''), c -> unicode(c)), 1) AS rev
+        FROM tk),
+th AS (SELECT url,
+        CAST({crc.format(col="fwd")} AS HUGEINT) * 4294967296 + {crc.format(col="rev")} AS h
+       FROM by_),
+bits AS (SELECT url, i,
+          sum(CASE WHEN (h // (CAST(1 AS HUGEINT) << i)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+         FROM th CROSS JOIN generate_series(0, 63) AS g(i) GROUP BY url, i),
+sh AS (SELECT url,
+        CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << i ELSE 0 END)
+             - (CAST(1 AS HUGEINT) << 63) AS BIGINT) AS sh,
+        sum(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << i ELSE 0 END) AS su
+       FROM bits GROUP BY url)
+SELECT a.url AS id_a, b.url AS id_b,
+       bit_count(xor(a.sh, b.sh)) AS hamming
+FROM sh a JOIN sh b ON a.url < b.url
+WHERE bit_count(xor(a.sh, b.sh)) <= 8
+  AND EXISTS (SELECT 1 FROM generate_series(0, 3) AS c(k)
+              WHERE (a.su // (CAST(1 AS HUGEINT) << (16 * k))) % 65536
+                  = (b.su // (CAST(1 AS HUGEINT) << (16 * k))) % 65536)
+ORDER BY id_a, id_b
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle for each SQL-expressible query (same column names)."""
     out = Q.all_oracles()
     out["minhash_near_dup_clusters"] = _FLAGSHIP_ORACLE
     out["rolling_fingerprint"] = _ROLLING_ORACLE
+    out["dedup_simhash_pairs"] = _simhash_oracle()
     return out

@@ -14,7 +14,6 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry
 
 ROWS_ONLY = {
-    "dedup_simhash_pairs",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "multimodal_decode_features",
