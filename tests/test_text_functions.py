@@ -91,3 +91,37 @@ def test_lang_id_stopword_profiles(spark):
     got = df.select("want", lang_id(F.col("text")).alias("got")).collect()
     for r in got:
         assert r.got == r.want, (r.want, r.got)
+
+
+def test_lang_id_tiebreak_parity_with_oracle(spark):
+    """Spark's struct array_max tiebreak (equal counts -> lexicographically
+    LATER code) must match the generated DuckDB CASE probe order — the
+    gate corpus may never exercise a tie, so pin the parity here on
+    adversarial 2-, 3-, and 4-way ties and the zero-hit fallback."""
+    import duckdb
+    from pyspark.sql import Row
+
+    from entity_linking_spark.functions.text import lang_id
+    from entity_linking_spark.plans.queries import _text_suite_oracle
+
+    cases = [
+        "le gato el perro",  # fr/es tie -> fr (later code)
+        "the hund der cat",  # en/de tie -> en
+        "le el the der",     # 4-way tie -> fr
+        "o le el",           # pt/fr/es tie -> pt
+        "xyzzy plugh",       # zero hits -> und
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t, n_chars=len(t)) for i, t in enumerate(cases)]
+    )
+    got_spark = {
+        r.doc_id: r.l
+        for r in df.select("doc_id", lang_id(F.col("text")).alias("l")).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    sql = _text_suite_oracle()
+    cols = [d[0] for d in con.execute(sql).description]
+    li, di = cols.index("lang_id"), cols.index("doc_id")
+    for r in con.execute(sql).fetchall():
+        assert got_spark[r[di]] == r[li], (r[di], got_spark[r[di]], r[li])
