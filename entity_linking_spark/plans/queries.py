@@ -714,13 +714,19 @@ def _text_suite_oracle() -> str:
     counts = []
     for lang, markers in sorted(LANG_MARKERS.items()):
         inlist = ", ".join("'" + w.replace("'", "''") + "'" for w in markers)
+        # regexp_split on \s+ to mirror lang_id's tokenization exactly
+        # (the rest of the suite splits on ' '; a tab/newline in a future
+        # corpus must not diverge THIS column's two sides)
         counts.append(
-            f"len(list_filter(string_split(lower(text), ' '), "
+            f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
             f"t -> t IN ({inlist}))) AS c_{lang}"
         )
     langs_desc = sorted(LANG_MARKERS, reverse=True)
     mx = "greatest(" + ", ".join(f"c_{lang}" for lang in sorted(LANG_MARKERS)) + ")"
-    case = "CASE WHEN " + mx + " = 0 THEN 'und' " + " ".join(
+    # coalesce: a NULL text makes every count NULL -> Spark's lang_id
+    # emits 'und' (null-false predicate), so the oracle must too rather
+    # than falling through the CASE to the last ELSE language
+    case = "CASE WHEN " + f"coalesce({mx}, 0) = 0 THEN 'und' " + " ".join(
         f"WHEN c_{lang} = {mx} THEN '{lang}'" for lang in langs_desc[:-1]
     ) + f" ELSE '{langs_desc[-1]}' END"
     return f"""

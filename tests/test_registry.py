@@ -40,7 +40,7 @@ def test_rows_only_entries_are_registered_last():
 
 
 def test_rows_only_set_matches_docs():
-    """The four rows-only ops are exactly the documented non-SQL-
+    """The three rows-only ops are exactly the documented non-SQL-
     expressible ones (README 'Rows-only' list)."""
     q = entry.queries()
     oracles = entry.oracle_sql()

@@ -110,9 +110,14 @@ def test_lang_id_tiebreak_parity_with_oracle(spark):
         "le el the der",     # 4-way tie -> fr
         "o le el",           # pt/fr/es tie -> pt
         "xyzzy plugh",       # zero hits -> und
+        "the\tcat is\nhere",  # \s+ tokenization parity (tab/newline)
+        None,                 # NULL text -> 'und' on BOTH engines
     ]
     df = spark.createDataFrame(
-        [Row(doc_id=i, text=t, n_chars=len(t)) for i, t in enumerate(cases)]
+        [
+            Row(doc_id=i, text=t, n_chars=len(t) if t is not None else 0)
+            for i, t in enumerate(cases)
+        ]
     )
     got_spark = {
         r.doc_id: r.l
