@@ -247,9 +247,13 @@ def _simhash_oracle() -> str:
     enumerates ALL pairs and applies the operator's exact contract:
     share >=1 of the four 16-bit pigeonhole chunks AND hamming <= 8.
 
-    Corpus assumptions, both verified for the driver testdata: tokens ==
+    Corpus assumptions, all verified for the driver testdata: tokens ==
     string_split(text, ' ') (the corpus is clean lowercase ASCII, so
-    BasicTokenizer is the identity on it) and bytes == codepoints (ASCII).
+    BasicTokenizer is the identity on it), bytes == codepoints (ASCII),
+    and no NULL/empty texts (checked: zero across sf0.001/0.01/0.1 —
+    an empty string WOULD diverge, basic_tokenize -> [] -> simhash 0 vs
+    string_split -> [''] -> a nonzero hash; NULL text agrees on both
+    sides by dropping out of the unnest / banding join).
     """
     tab = []
     for i in range(256):
