@@ -62,9 +62,16 @@ def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         denom[denom == 0] = 1.0
         out = np.einsum("ij,ij->i", ma, mb) / denom
     except (ValueError, TypeError):
+        # ragged/NULL rows: score each row alone, 0.0 for missing vecs.
+        # `x or []` would NOT work here — Arrow hands numpy arrays, whose
+        # truth value raises for >1 element; test against None explicitly
         for i in range(n):
-            va = np.asarray(a.iloc[i] or [], dtype=np.float32)
-            vb = np.asarray(b.iloc[i] or [], dtype=np.float32)
+            xa, xb = a.iloc[i], b.iloc[i]
+            va = np.asarray(xa if xa is not None else [], dtype=np.float32)
+            vb = np.asarray(xb if xb is not None else [], dtype=np.float32)
+            if va.shape != vb.shape:
+                out[i] = 0.0
+                continue
             d = np.linalg.norm(va) * np.linalg.norm(vb)
             out[i] = float(va @ vb / d) if d else 0.0
     return pd.Series(out)

@@ -110,3 +110,24 @@ def test_minhash_banding_recall_on_near_dups():
     other = [f"z{i}" for i in range(100)]
     bc = band_hashes(minhash_signature(other))
     assert not any(x == y for x, y in zip(ba, bc))
+
+
+def test_cosine_udf_tolerates_null_and_ragged_rows(spark):
+    """A NULL (or wrong-dim) vector in a batch must score 0.0 for that
+    row, not crash the task: the batched np.stack path raises on mixed
+    None rows and the per-row fallback used `x or []`, whose numpy-array
+    truth value raises for >1 element — one poison row killed the whole
+    scoring stage."""
+    from pyspark.sql import Row
+
+    from entity_linking_spark.functions.vectors import cosine_udf
+
+    rows = [
+        Row(a=[1.0, 0.0], b=[1.0, 0.0]),   # cos 1
+        Row(a=None, b=[0.0, 1.0]),          # null side -> 0
+        Row(a=[1.0, 0.0], b=None),          # other side -> 0
+        Row(a=[1.0], b=[0.0, 1.0]),         # ragged dims -> 0
+    ]
+    df = spark.createDataFrame(rows, "a array<float>, b array<float>")
+    got = [r.c for r in df.coalesce(1).select(cosine_udf("a", "b").alias("c")).collect()]
+    assert got[0] == 1.0 and got[1:] == [0.0, 0.0, 0.0]
