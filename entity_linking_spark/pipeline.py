@@ -78,6 +78,29 @@ def run_pipeline(
 
     docs = io.run_stage(spark, workdir, "s1_extract", _extract, force)
 
+    # S9 encodings table: the per-doc embedding as a FIRST-CLASS stage
+    # output (url, vec) — written once, reused by scoring and by any
+    # ANN/linkage consumer across runs (the reference precomputes and
+    # caches entity encodings the same way, eval_biencoder_.py:305-341).
+    # The fused s1 pass already computed vec, so building it is a pure
+    # projection. s1b depends ONLY on s1, so it runs on a SECOND driver
+    # thread concurrently with the s2 -> s4 chain (Spark schedules jobs
+    # from concurrent driver threads independently) — DAG parallelism a
+    # cluster scheduler would exploit; serially it sat on the critical
+    # path between s4 and s5 for no reason.
+    emb_box: dict[str, object] = {}
+
+    def _embeddings_stage() -> None:
+        try:
+            emb_box["df"] = io.run_stage(
+                spark, workdir, "s1b_embeddings", lambda: docs.select("url", "vec"), force
+            )
+        except BaseException as e:  # noqa: BLE001 — re-raised on the main thread
+            emb_box["err"] = e
+
+    emb_thread = threading.Thread(target=_embeddings_stage, daemon=True)
+    emb_thread.start()
+
     alias_thread.join()
     if "err" in alias_box:
         raise alias_box["err"]
@@ -103,16 +126,10 @@ def run_pipeline(
 
     pairs = io.run_stage(spark, workdir, "s4_pairs", _pairs, force)
 
-    # S9 encodings table: the per-doc embedding as a FIRST-CLASS stage
-    # output (url, vec) — written once, reused by scoring here and by any
-    # ANN/linkage consumer across runs (the reference precomputes and
-    # caches entity encodings the same way, eval_biencoder_.py:305-341).
-    # The fused s1 pass already computed vec, so building it is a pure
-    # projection; the value is the standalone, resumable artifact.
-    def _embeddings() -> DataFrame:
-        return docs.select("url", "vec")
-
-    embeddings = io.run_stage(spark, workdir, "s1b_embeddings", _embeddings, force)
+    emb_thread.join()
+    if "err" in emb_box:
+        raise emb_box["err"]
+    embeddings = emb_box["df"]
 
     def _scores() -> DataFrame:
         supports, emb, top_mention = scoring.doc_features(
