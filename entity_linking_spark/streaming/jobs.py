@@ -53,22 +53,28 @@ def run_stream_to_memory(
     schema,
     transform,
     table_name: str,
+    output_mode: str = "complete",
+    max_files_per_trigger: int = 4,
 ) -> StreamingQuery:
     """readStream(parquet) -> transform -> in-memory sink, availableNow.
 
     Bounded run of the real streaming engine: used by tests and as the
     template for a production kafka/iceberg-source deployment.
+    ``output_mode='append'`` + ``max_files_per_trigger=1`` turns each
+    source file into its own micro-batch, which is how the late-data /
+    watermark-drop semantics are exercised deterministically (the file
+    source orders batches by modification time).
     """
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "4")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(source_parquet)
     )
     out = transform(stream)
     return (
         out.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -145,3 +145,76 @@ def test_dedup_group_keeper_spans_chunks():
     # group already seen in a prior batch: nothing emitted, count still up
     first_id, n = _first_seen_of_group(3, iter(chunks), "url")
     assert first_id is None and n == 4
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """True late-data semantics, which complete-mode tests cannot show:
+    in append mode an event arriving AFTER its window was finalized and
+    evicted (below the watermark) must be dropped, never re-emitted.
+    Four source files become four micro-batches (maxFilesPerTrigger=1,
+    mtime-ordered):
+      batch 0: five 10:10 events + a 20:00 event -> watermark 18:00
+      batch 1: a 21:00 event -> the closed 10:00 window EMITS (n=5),
+               state evicted, watermark 19:00
+      batch 2: a LATE 10:20 event -> dropped by the watermark (the
+               numRowsDroppedByWatermark state metric records it)
+      batch 3: a 23:59 event (lets batch 2's bookkeeping commit)
+    """
+    import datetime
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import Row
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write(name, rows, mtime):
+        p = str(src / name)
+        spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+            p + ".tmp"
+        )
+        part = glob.glob(p + ".tmp/part-*.parquet")[0]
+        shutil.move(part, p)
+        shutil.rmtree(p + ".tmp")
+        os.utime(p, (mtime, mtime))
+
+    def ev(ts, et="x"):
+        return Row(
+            ts=datetime.datetime.fromisoformat(ts), event_type=et, value=1.0
+        )
+
+    t0 = time.time() - 1000
+    write(
+        "a.parquet",
+        [ev("2024-01-01 10:10")] * 5 + [ev("2024-01-01 20:00", "adv")],
+        t0,
+    )
+    write("b.parquet", [ev("2024-01-01 21:00", "adv")], t0 + 100)
+    write("c.parquet", [ev("2024-01-01 10:20")], t0 + 200)  # LATE
+    write("d.parquet", [ev("2024-01-01 23:59", "adv")], t0 + 300)
+
+    schema = "ts timestamp, event_type string, value double"
+    q = jobs.run_stream_to_memory(
+        spark,
+        str(src),
+        schema,
+        lambda s: jobs.streaming_mention_counts(s),
+        "late_counts_t",
+        output_mode="append",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    rows = spark.sql("SELECT * FROM late_counts_t").collect()
+    got = {(r.window_start, r.event_type): r.n for r in rows}
+    assert got[("2024-01-01 10:00", "x")] == 5  # late event NOT re-counted
+    assert dropped == 1  # and the engine metric shows exactly one drop
+    # no duplicate emission of the 10:00 window
+    assert len([r for r in rows if r.window_start == "2024-01-01 10:00"]) == 1
