@@ -47,6 +47,12 @@ from entity_linking_spark.functions.normalize import normalize_text
 
 MAX_BLOCK_SIZE = 64
 MAX_ALIAS_AMBIGUITY = 8  # aliases shared by more entities don't emit ent: keys
+# Above this alias-table size the pipeline flips from the broadcast trie
+# matcher to the join-based path (detect_mentions_join): ~4M short
+# aliases is ~100s of MB as a python trie on the driver+executors — the
+# measured comfortable ceiling; the reference's 5.9M-entity KB
+# (main_dense.py:119) lands just past it, so it takes the join path.
+ALIAS_BROADCAST_MAX_ROWS = 4_000_000
 
 MENTIONS_SCHEMA = StructType(
     [
@@ -168,6 +174,137 @@ def detect_mentions(
             )
 
     return docs.select(url_col, in_col).mapInPandas(run, schema=MENTIONS_SCHEMA)
+
+
+def alias_row_estimate(aliases: DataFrame) -> int:
+    """Row-count estimate for the alias table WITHOUT a corpus scan job:
+    parquet footer metadata when the plan reads files (the same
+    metadata-only trick as the LSH plane sizing and stage lineage), else
+    a count() — acceptable for in-memory fixture tables, which are small
+    by construction."""
+    try:
+        files = [f for f in aliases.inputFiles() if f.endswith(".parquet")]
+    except Exception:  # non-file-based plan (e.g. createDataFrame)
+        files = []
+    if files:
+        from urllib.parse import urlparse
+
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            path = urlparse(f).path if "://" in f or f.startswith("file:") else f
+            total += pq.ParquetFile(path).metadata.num_rows
+        return total
+    return aliases.count()
+
+
+def detect_mentions_join(
+    docs: DataFrame,
+    aliases: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+    tokens_col: str | None = None,
+    alias_col: str = "alias",
+) -> DataFrame:
+    """Beyond-broadcast mention detection: pure-join path, byte-identical
+    output to ``detect_mentions`` (pytest-pinned), with NO driver-side
+    alias collect — the alias dictionary stays distributed.
+
+    The trie path collects the full alias list to the driver to build a
+    broadcast matcher; at the reference's real KB scale (5,903,527
+    entities, main_dense.py:119) that is ~100s of MB on the driver, and
+    at open-web KB scale a hard wall. This path re-expresses the same
+    contract (the reference's dict IS a join input, el_process.py:37-43)
+    as relational ops:
+
+      1. normalize + dedup the alias table distributively (same frozen
+         normalizer as the mention text, so variants join);
+      2. posexplode doc tokens -> (url, pos, tok) anchor rows; equi-join
+         on the alias's FIRST token (shuffle hash join — the alias side
+         never needs to fit in one place);
+      3. group candidate anchors per doc and verify each full span
+         JVM-side: concat_ws(' ', slice(tokens, pos+1, n)) == alias;
+      4. replay the trie's greedy longest-match-first non-overlapping
+         scan (el_process.py:65 longest-first ordering) as an aggregate()
+         fold over the verified matches sorted (pos ASC, n DESC): take a
+         match iff it starts at/after the previous match's end.
+
+    Shuffle inventory: anchor join (on first token), per-url groupBy,
+    1:1 join back to docs tokens. All equi-exchanges on uniform-ish keys;
+    a corpus-hot first token (e.g. 'the' anchoring 'the beatles') skews
+    the anchor join — AQE skew-join splits it, since unlike the trie
+    there is no per-key state. Output rows are per (url, selected span),
+    identical as a SET to the trie path (row order differs — both are
+    unordered DataFrames)."""
+    from entity_linking_spark.functions.normalize import normalize_udf, tokenize_udf
+
+    alias_norm = (
+        aliases.select(normalize_udf(F.col(alias_col)).alias("alias"))
+        .where(F.col("alias") != "")
+        .distinct()
+        .withColumn("_atoks", F.split("alias", " "))
+        .select(
+            "alias",
+            F.element_at("_atoks", 1).alias("_first"),
+            F.size("_atoks").alias("n"),
+        )
+    )
+    if tokens_col is None:
+        toks = docs.select(
+            F.col(url_col).alias("url"), tokenize_udf(F.col(text_col)).alias("tokens")
+        )
+    else:
+        toks = docs.select(F.col(url_col).alias("url"), F.col(tokens_col).alias("tokens"))
+
+    anchors = toks.select("url", F.posexplode("tokens").alias("pos", "tok"))
+    cand = anchors.join(alias_norm, anchors.tok == alias_norm["_first"]).select(
+        "url", "pos", "n", "alias"
+    )
+    # negn makes sort_array's lexicographic ascending order = (pos ASC,
+    # n DESC): the greedy fold then sees the longest candidate at each
+    # position first, exactly the trie's deepest-terminal-wins rule
+    per_url = cand.groupBy("url").agg(
+        F.sort_array(
+            F.collect_list(F.struct("pos", (-F.col("n")).alias("negn"), "n", "alias"))
+        ).alias("ms")
+    )
+    joined = toks.join(per_url, "url")  # 1:1 inner; docs without anchors drop out
+    verified = F.filter(
+        F.col("ms"),
+        lambda m: F.concat_ws(" ", F.slice(F.col("tokens"), m["pos"] + 1, m["n"]))
+        == m["alias"],
+    )
+    empty_sel = F.array().cast("array<struct<pos:int,n:int>>")
+    selected = F.aggregate(
+        verified,
+        F.struct(F.lit(0).alias("nxt"), empty_sel.alias("sel")),
+        lambda acc, m: F.when(
+            m["pos"] >= acc["nxt"],
+            F.struct(
+                (m["pos"] + m["n"]).alias("nxt"),
+                F.array_append(
+                    acc["sel"], F.struct(m["pos"].alias("pos"), m["n"].alias("n"))
+                ).alias("sel"),
+            ),
+        ).otherwise(acc),
+    )["sel"]
+    out = joined.select("url", "tokens", F.explode(selected).alias("m"))
+    mention = F.concat_ws(" ", F.slice("tokens", F.col("m.pos") + 1, F.col("m.n")))
+    # char offset of token i in ' '.join(tokens) = sum(len+1 for j<i) =
+    # len(concat of first i tokens) + 1 (0 when i = 0) — same arithmetic
+    # as the trie path's cumulative position array
+    start = (
+        F.when(F.col("m.pos") == 0, F.lit(0))
+        .otherwise(F.length(F.concat_ws(" ", F.slice("tokens", 1, F.col("m.pos")))) + 1)
+        .cast("int")
+    )
+    return (
+        out.withColumn("mention", mention)
+        .withColumn("start_pos", start)
+        .withColumn("end_pos", (F.col("start_pos") + F.length("mention")).cast("int"))
+        .select("url", "mention", "start_pos", "end_pos")
+    )
 
 
 def candidate_entities(

@@ -39,8 +39,15 @@ def run_pipeline(
     force: bool = False,
     max_block_size: int = blocking.MAX_BLOCK_SIZE,
     threshold: float = scoring.MATCH_THRESHOLD,
+    alias_broadcast_max_rows: int = blocking.ALIAS_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
-    """Full linkage run; returns (url, cluster_id). Checkpoints each stage."""
+    """Full linkage run; returns (url, cluster_id). Checkpoints each stage.
+
+    ``alias_broadcast_max_rows``: alias tables at/below this (row count
+    read from parquet footers, no scan job) are collected and matched
+    with the broadcast trie; larger KBs take the join-based
+    ``detect_mentions_join`` path — identical output, no driver collect,
+    so a beyond-broadcast KB no longer kills the job at s2."""
 
     def _extract() -> DataFrame:
         # spread the corpus across all cores before the Python stage —
@@ -67,9 +74,15 @@ def run_pipeline(
 
     def _collect_aliases() -> None:
         try:
-            alias_box["list"] = [
-                r["alias"] for r in aliases.select("alias").distinct().collect()
-            ]
+            # footer-metadata row estimate first: a beyond-broadcast KB
+            # must never be collected at all (the estimate itself costs
+            # no scan job for parquet-backed alias tables)
+            if blocking.alias_row_estimate(aliases) > alias_broadcast_max_rows:
+                alias_box["list"] = None  # s2 takes the join-based path
+            else:
+                alias_box["list"] = [
+                    r["alias"] for r in aliases.select("alias").distinct().collect()
+                ]
         except BaseException as e:  # noqa: BLE001 — re-raised on the main thread
             alias_box["err"] = e
 
@@ -107,6 +120,8 @@ def run_pipeline(
     alias_list = alias_box["list"]
 
     def _mentions() -> DataFrame:
+        if alias_list is None:  # beyond-broadcast KB: distributed join path
+            return blocking.detect_mentions_join(docs, aliases, tokens_col="tokens")
         return blocking.detect_mentions(docs, alias_list, tokens_col="tokens")
 
     mentions = io.run_stage(spark, workdir, "s2_mentions", _mentions, force)

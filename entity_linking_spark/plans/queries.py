@@ -272,6 +272,11 @@ def a6_cumulative_rank_curve(spark, sf_dir):
     """A6: recall@rank cumulative curve (evaluator.py:92-124)."""
     e = _t(spark, sf_dir, "embeddings")
     counts = e.groupBy("label").agg(F.count("*").alias("n"))
+    # unpartitioned window is INTENTIONAL: the input is post-aggregation
+    # (one row per label, bounded at any corpus scale), and the global
+    # cumsum matches the reference's evaluator semantics — the WindowExec
+    # "No Partition Defined" warning in bench logs is expected, not a
+    # defect (all other Window sites in this package are partitioned)
     w = Window.orderBy("label").rowsBetween(Window.unboundedPreceding, 0)
     return counts.select("label", "n", F.sum("n").over(w).alias("cum")).orderBy("label")
 

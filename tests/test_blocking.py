@@ -103,3 +103,80 @@ def test_blocking_keys_drop_null_host_keys(spark):
     assert all(r.key is not None for r in keys)
     # the malformed-url doc still blocks via its minhash bands
     assert any(r.url == "not a url at all" and r.key.startswith("mh:") for r in keys)
+
+
+def _aliases(spark, pairs):
+    return spark.createDataFrame(
+        [Row(alias=a, subject_id=s) for a, s in pairs],
+        "alias string, subject_id string",
+    )
+
+
+def test_detect_mentions_join_identical_to_trie(spark):
+    """The beyond-broadcast join path must reproduce the trie path's
+    output byte-identically (same rows; row ORDER is unspecified on both
+    sides) — including longest-match-wins, greedy non-overlap jumps,
+    shared-first-token aliases, repeats, and empty/None docs."""
+    docs = _docs(
+        spark,
+        [
+            ("d1", "I visited New York City and new york is big"),
+            ("d2", "the new york city marathon and york minster"),
+            ("d3", "nothing matching here at all"),
+            ("d4", "acme corp acme acme corp industries"),
+            ("d5", ""),
+            ("d6", None),
+            ("d7", "overlap a b c overlap test: a b then b c then c"),
+            ("d8", "Hyphen-Case ACME-Corp matches too"),
+        ],
+    )
+    aliases = _aliases(
+        spark,
+        [
+            ("New York", "e1"),
+            ("New York City", "e2"),
+            ("york", "e3"),
+            ("acme corp", "e4"),
+            ("acme corp industries", "e5"),
+            ("acme", "e6"),
+            ("a b", "e7"),
+            ("b c", "e8"),
+            ("c", "e9"),
+            ("acme-corp", "e10"),  # normalizes to multi-token 'acme - corp'
+        ],
+    )
+    alias_list = [r.alias for r in aliases.select("alias").collect()]
+    trie = sorted(map(tuple, blocking.detect_mentions(docs, alias_list).collect()))
+    join = sorted(map(tuple, blocking.detect_mentions_join(docs, aliases).collect()))
+    assert trie == join
+    assert len(trie) > 10  # corpus actually exercises the matcher
+
+
+def test_detect_mentions_join_precomputed_tokens(spark):
+    """tokens_col path (the pipeline's fused-s1 output) agrees too."""
+    from entity_linking_spark.functions.normalize import tokenize_udf
+
+    docs = _docs(spark, [("u1", "we met Acme Corp and ACME yesterday")])
+    toked = docs.withColumn("tokens", tokenize_udf(F.col("text")))
+    aliases = _aliases(spark, [("acme corp", "e1"), ("acme", "e2")])
+    out = sorted(
+        map(
+            tuple,
+            blocking.detect_mentions_join(toked, aliases, tokens_col="tokens").collect(),
+        )
+    )
+    trie = sorted(
+        map(
+            tuple,
+            blocking.detect_mentions(toked, ["acme corp", "acme"], tokens_col="tokens").collect(),
+        )
+    )
+    assert out == trie == [("u1", "acme", 21, 25), ("u1", "acme corp", 7, 16)]
+
+
+def test_alias_row_estimate_parquet_footer(spark, tmp_path):
+    p = str(tmp_path / "aliases_pq")
+    _aliases(spark, [(f"alias {i}", f"e{i}") for i in range(37)]).write.parquet(p)
+    assert blocking.alias_row_estimate(spark.read.parquet(p)) == 37
+    # in-memory fallback
+    assert blocking.alias_row_estimate(_aliases(spark, [("x", "e1")])) == 1

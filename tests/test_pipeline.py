@@ -182,3 +182,38 @@ def test_stage_io_scheme_qualified_workdir(spark, tmp_path):
     assert io.stage_complete(root, "s_remote")
     again = io.run_stage(spark, root, "s_remote", build)
     assert calls["n"] == 1 and again.count() == 40  # remote resume works
+
+
+def test_pipeline_join_mention_path_identical(spark, fixtures, workdir):
+    """Force the beyond-broadcast join-based mention path
+    (alias_broadcast_max_rows=0) in a FRESH workdir: the s2 mentions
+    stage and the final clustering must be byte-identical to the trie
+    path's (the `workdir` fixture ran the trie path), and F1 stays at
+    the acceptance bar — proving pipeline.py no longer NEEDS the
+    driver-side alias collect."""
+    import tempfile
+
+    jd = tempfile.mkdtemp(prefix="el_joinpath_")
+    try:
+        clusters = run_pipeline(
+            spark,
+            fixtures["documents"],
+            fixtures["aliases"],
+            jd,
+            alias_broadcast_max_rows=0,
+        )
+        m_trie = {
+            tuple(r) for r in io.read_stage(spark, workdir, "s2_mentions").collect()
+        }
+        m_join = {tuple(r) for r in io.read_stage(spark, jd, "s2_mentions").collect()}
+        assert m_trie == m_join and len(m_join) > 0
+        c_trie = {
+            (r["url"], r["cluster_id"])
+            for r in io.read_stage(spark, workdir, "s6_clusters").collect()
+        }
+        c_join = {(r["url"], r["cluster_id"]) for r in clusters.collect()}
+        assert c_trie == c_join
+        prf = pairwise_prf(clusters, fixtures["labeled_pairs"])
+        assert prf["f1"] >= 0.99, prf
+    finally:
+        shutil.rmtree(jd, ignore_errors=True)

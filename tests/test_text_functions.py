@@ -130,3 +130,42 @@ def test_lang_id_tiebreak_parity_with_oracle(spark):
     li, di = cols.index("lang_id"), cols.index("doc_id")
     for r in con.execute(sql).fetchall():
         assert got_spark[r[di]] == r[li], (r[di], got_spark[r[di]], r[li])
+
+
+def test_rolling_hash_vectorized_equals_reference():
+    """_window_min_hash (O(chars) prefix-hash path, round 4) must agree
+    exactly with the from-scratch per-window _poly_hash definition the
+    DuckDB oracle replays — over unicode, doubled spaces, empties."""
+    import random
+    import string
+
+    from entity_linking_spark.functions.text import (
+        _POLY_MOD,
+        _WINDOW,
+        _poly_hash,
+        _window_min_hash,
+    )
+
+    def ref(t: str) -> int:
+        toks = t.lower().split(" ")
+        if len(toks) <= _WINDOW:
+            return _poly_hash(" ".join(toks))
+        return min(
+            _poly_hash(" ".join(toks[i : i + _WINDOW]))
+            for i in range(len(toks) - _WINDOW + 1)
+        )
+
+    rng = random.Random(4)
+    cases = ["", "one", "  spaced  out ", "Ünïcødé tøkens 漢字 mixed in a longer stream of text"]
+    alphabet = string.ascii_letters + "é漢 .,"
+    for _ in range(200):
+        n = rng.randint(0, 30)
+        cases.append(
+            " ".join(
+                "".join(rng.choices(alphabet, k=rng.randint(0, 7))) for _ in range(n)
+            )
+        )
+    for c in cases:
+        got = _window_min_hash(c)
+        assert got == ref(c), repr(c)
+        assert 0 <= got < _POLY_MOD
