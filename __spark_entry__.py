@@ -131,18 +131,37 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate row for the multimodal decode plumbing — exercises ALL THREE
+    codec paths through the same mapInPandas stage via codec='auto'
+    magic-byte routing: REAL RIFF/PCM WAV decode (stdlib wave), REAL
+    24-bit BMP decode (stdlib struct), the deterministic fake codec, and
+    one deliberately MALFORMED payload proving the per-row decode_error
+    channel (a poison payload yields an error row, not a dead stage)."""
     from pyspark.sql import Row
 
     from entity_linking_spark.operators import multimodal as mm
 
-    rows = [
-        Row(
-            media_id=f"m{i}",
-            kind="image" if i % 2 else "audio",
-            payload=mm.encode_fake_media("image" if i % 2 else "audio", 32 + i, 32, i),
+    rows = []
+    for i in range(8):  # fake-codec rows (plumbing on opaque payloads)
+        kind = "image" if i % 2 else "audio"
+        rows.append(
+            Row(media_id=f"fake{i}", kind=kind,
+                payload=mm.encode_fake_media(kind, 32 + i, 32, i))
         )
-        for i in range(20)
-    ]
+    for i in range(6):  # REAL wav payloads, deterministic seeded PCM
+        rows.append(
+            Row(media_id=f"wav{i}", kind="audio",
+                payload=mm.encode_wav_media(256 + 32 * i, seed=i))
+        )
+    for i in range(5):  # REAL bmp payloads, deterministic seeded pixels
+        rows.append(
+            Row(media_id=f"bmp{i}", kind="image",
+                payload=mm.encode_bmp_media(12 + i, 9 + i, seed=i))
+        )
+    # malformed: a truncated BMP (valid magic, pixel data cut short) —
+    # must produce decode_error, not a task failure
+    bad = mm.encode_bmp_media(16, 16, seed=99)[:70]
+    rows.append(Row(media_id="bad0", kind="image", payload=bad))
     # the driver canonicalizer sorts column values in pandas — a raw
     # array<float> cell is unhashable there, so serialize features to the
     # repo's joined-string array convention (plans/queries.py docstring)
@@ -152,7 +171,7 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.transform("features", lambda x: F.format_string("%.6f", x))
         ),
     )
-    return mm.with_media_features(spark.createDataFrame(rows)).select(
+    return mm.with_media_features(spark.createDataFrame(rows), codec="auto").select(
         "media_id", "kind", feats_csv.alias("features"), "decode_error"
     )
 

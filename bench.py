@@ -66,6 +66,13 @@ def main() -> None:
     entry_mod._doc_clusters(spark, sf_dir).count()
     times["minhash_near_dup_clusters"] = round(time.time() - t0, 3)
 
+    # ANN gate entries timed too (round-4: plan regressions in the
+    # bucketed paths must surface in the bench, not just pytest)
+    for name, fn in (("ann_lsh_topk", entry_mod._ann_lsh), ("ann_ivf_topk", entry_mod._ann_ivf)):
+        t0 = time.time()
+        assert fn(spark, sf_dir).count() >= 0
+        times[name] = round(time.time() - t0, 3)
+
     # end-to-end EL pipeline on a synthesized web corpus (fixture written
     # to parquet untimed; the timed portion is the pipeline itself)
     n_docs = 3000

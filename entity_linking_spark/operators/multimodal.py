@@ -176,10 +176,25 @@ def decode_media(payload: bytes, kind: str, codec: str = "fake") -> np.ndarray:
     codec='wav'  — REAL decode of RIFF/WAVE PCM audio (stdlib).
     codec='bmp'  — REAL decode of 24-bit uncompressed BMP images (stdlib).
     codec='fake' — deterministic test codec (full plumbing, fake bytes).
+    codec='auto' — route per payload by magic bytes (RIFF -> wav,
+                   BM -> bmp, fake magic -> fake): the container-format
+                   sniff a mixed-media corpus column needs, since one
+                   binary column holds many formats at ingest.
     anything else is stubbed behind ``_require_codec`` (no compressed
     image/video codec library ships in this container)."""
     if payload is None:
         raise ValueError("null payload")
+    if codec == "auto":
+        if payload[:4] == b"RIFF":
+            codec = "wav"
+        elif payload[:2] == b"BM":
+            codec = "bmp"
+        elif payload.startswith(FAKE_MAGIC):
+            codec = "fake"
+        else:
+            raise ValueError(
+                f"unrecognized media container (first bytes {payload[:4]!r})"
+            )
     if codec == "wav":
         return _decode_wav(payload)
     if codec == "bmp":

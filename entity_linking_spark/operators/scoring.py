@@ -165,18 +165,25 @@ def score_pairs(
     supports: DataFrame,
     embeddings: DataFrame,
     top_mention: DataFrame,
-    salt_factor: int | None = None,
+    salt_factor: int | str | None = None,
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Fused pair scores: (url_a, url_b, ent_score, cos_score, name_score,
     score).
 
     ``salt_factor``: when a viral page appears in a disproportionate share
-    of candidate pairs (hot url key), pass a salt factor to run the
-    pair->feature joins as salted joins (operators/skew.py): the feature
-    tables are replicated salt_factor times and the hot key spreads over
-    that many reducers. Default None — blocking's stop-key caps bound the
-    per-key fan-out and AQE skew-join splits the residue, so salting is
-    only worth its replication cost under extreme residual skew.
+    of candidate pairs (hot url key), the pair->feature joins can run
+    salted (operators/skew.py) so the hot key spreads over many reducers.
+      None (default)  — plain joins; blocking's stop-key caps bound the
+                        per-key fan-out and AQE skew-join splits residue.
+      "auto"          — adaptive_salted_join: an exact key-frequency pass
+                        finds keys hotter than ``hot_threshold`` and
+                        salts ONLY those (uniform corpora pay ~nothing;
+                        the frequency agg is map-side-combined so its
+                        shuffle is #hot-ish keys, not #pairs).
+      int N           — unconditional N-way salting of the whole join
+                        (the round-2 escape hatch; kept for callers that
+                        already know their skew profile).
     """
     # merge ALL per-url features once (small joins on the 1:1 url key), so
     # the big pair table is joined exactly twice (a-side, b-side). The
@@ -196,7 +203,17 @@ def score_pairs(
         F.col("mention").alias("m_b"), F.col("smap").alias("smap_b"),
     )
 
-    if salt_factor:
+    if salt_factor == "auto":
+        from entity_linking_spark.operators import skew
+
+        ht = hot_threshold if hot_threshold is not None else skew.DEFAULT_HOT_THRESHOLD
+        feat = skew.adaptive_salted_join(
+            skew.adaptive_salted_join(
+                pairs, fa, "url_a", salt_cols=["url_b"], hot_threshold=ht, how="left"
+            ),
+            fb, "url_b", salt_cols=["url_a"], hot_threshold=ht, how="left",
+        )
+    elif salt_factor:
         from entity_linking_spark.operators.skew import salted_join
 
         feat = salted_join(

@@ -64,6 +64,75 @@ def salted_join(
     return out.drop("_salt")
 
 
+# A key owning more rows than this on the probe side is treated as hot:
+# at the default 32-200 shuffle partitions, ~100k rows in ONE reduce
+# partition is straggler territory while everything else finishes.
+DEFAULT_HOT_THRESHOLD = 100_000
+
+
+def hot_keys(df: DataFrame, key: str | list[str], hot_threshold: int) -> DataFrame:
+    """Exact per-key frequency via two-phase groupBy().count(): map-side
+    partial aggregation collapses even a 10^8-row hot key to one partial
+    row per task, so finding hot keys costs a tiny count shuffle — the
+    same pattern (and argument) as blocking.candidate_pairs' stop list.
+    Chosen over a count-min/sample sketch: exact AND deterministic
+    (FIXTURES.md seeding rules forbid rand()-dependent plans), at the
+    same asymptotic cost."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("_cnt"))
+        .where(F.col("_cnt") > hot_threshold)
+        .select(*keys)
+    )
+
+
+def adaptive_salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str | list[str],
+    salt_cols: list[str],
+    n_salts: int = DEFAULT_SALT,
+    hot_threshold: int = DEFAULT_HOT_THRESHOLD,
+    how: str = "inner",
+) -> DataFrame:
+    """Salt ONLY the keys that are actually hot — auto-selected from an
+    exact key-frequency pass over the probe side, so uniform workloads
+    pay no replication and skewed ones get no straggler.
+
+    Mechanics: the (tiny by construction: <= rows/threshold keys) hot
+    set broadcasts onto both sides as a map-side flag. Hot probe rows
+    get a deterministic salt in [0, n_salts); cold rows get salt 0. The
+    build side is replicated n_salts x for hot keys ONLY (explode of a
+    conditional salt array) and kept single for cold keys. One equi join
+    on (key..., salt) then serves both populations — identical output to
+    the unsalted join (pytest-pinned), one plan, no union of split
+    branches, and the hot key's rows land in n_salts reduce partitions
+    instead of one."""
+    keys = [key] if isinstance(key, str) else list(key)
+    hot = F.broadcast(hot_keys(large, keys, hot_threshold).withColumn("_hot", F.lit(True)))
+    lg = (
+        large.join(hot, keys, "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_hot"),
+                F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_hot")
+    )
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    sm = (
+        small.join(hot, keys, "left")
+        .withColumn(
+            "_salt", F.explode(F.when(F.col("_hot"), salts).otherwise(F.array(F.lit(0))))
+        )
+        .drop("_hot")
+    )
+    return lg.join(sm.hint("shuffle_hash"), [*keys, "_salt"], how).drop("_salt")
+
+
 def salted_repartition(
     df: DataFrame, key: str, n_partitions: int, n_salts: int = DEFAULT_SALT
 ) -> DataFrame:

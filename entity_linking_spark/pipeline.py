@@ -40,6 +40,8 @@ def run_pipeline(
     max_block_size: int = blocking.MAX_BLOCK_SIZE,
     threshold: float = scoring.MATCH_THRESHOLD,
     alias_broadcast_max_rows: int = blocking.ALIAS_BROADCAST_MAX_ROWS,
+    salt_factor: int | str | None = "auto",
+    salt_hot_threshold: int | None = None,
 ) -> DataFrame:
     """Full linkage run; returns (url, cluster_id). Checkpoints each stage.
 
@@ -150,7 +152,13 @@ def run_pipeline(
         supports, emb, top_mention = scoring.doc_features(
             docs, candidates, embeddings=embeddings
         )
-        return scoring.score_pairs(pairs, supports, emb, top_mention)
+        # salt_factor="auto" (default): scoring joins flip hot urls to
+        # the salted path from an exact key-frequency pass — uniform
+        # corpora pay only the map-side-combined count, skewed ones
+        # (viral page in millions of pairs) lose the straggler
+        return scoring.score_pairs(
+            pairs, supports, emb, top_mention, salt_factor, salt_hot_threshold
+        )
 
     scores = io.run_stage(spark, workdir, "s5_scores", _scores, force)
 

@@ -356,17 +356,50 @@ def load_fixtures(
 # ---------------------------------------------------------------------------
 
 
+# Zipf-ish ladder of stop-word-like hot aliases for the skew bench:
+# (alias, fraction of docs planting it). Each is shared by
+# N_HOT_ENTITY_SHARERS entities (below MAX_ALIAS_AMBIGUITY, so the
+# ambiguity filter does NOT save us — the ent: blocks genuinely go hot,
+# ~1% of the corpus in ONE blocking key for the top rung, the reference's
+# 南京南站-style stop-word alias, el_process.py:40-43 / SURVEY §4).
+# Support 1/4 per sharer keeps the alias sub-decisive for scoring, like
+# a real ambiguous stop-word.
+HOT_ALIAS_LADDER = (
+    ("hub station central", 0.04),
+    ("north terminal gate", 0.02),
+    ("old market square", 0.01),
+)
+N_HOT_ENTITY_SHARERS = 4
+
+
+def hot_ladder_aliases() -> pd.DataFrame:
+    """(alias, subject_id) rows for the ladder's synthetic shared
+    entities — union onto any aliases table to arm the skew corpus."""
+    rows = [
+        {"alias": alias, "subject_id": f"ehot{i:02d}_{j}"}
+        for i, (alias, _frac) in enumerate(HOT_ALIAS_LADDER)
+        for j in range(N_HOT_ENTITY_SHARERS)
+    ]
+    return pd.DataFrame(rows)
+
+
 def synth_documents_spark(
     spark: SparkSession,
     n_docs: int,
     n_entities: int,
     seed: int = SEED,
     with_truth_column: bool = False,
+    hot_alias_ladder: tuple[tuple[str, float], ...] = (),
 ) -> DataFrame:
     """Deterministic distributed corpus: same schema + statistical shape as
     synth_documents (hosts with hot-key skew, 1-3 embedded aliases with at
     least one unique, ~10% zh rows, mid-text newline), generated via
     mapInPandas over spark.range. Pure function of (seed, doc_id).
+
+    ``hot_alias_ladder``: (alias, doc_fraction) pairs — each doc
+    additionally plants alias with prob doc_fraction (independent
+    draws), creating Zipf-distributed hot blocking keys for the skew
+    bench. Default empty keeps the corpus byte-identical to round 3.
     """
     import random as _random
 
@@ -417,6 +450,9 @@ def synth_documents_spark(
                         picks.append(rng.choice(ambiguous))
                     for p in picks:
                         words.insert(rng.randrange(len(words)), p)
+                for hot_alias, frac in hot_alias_ladder:
+                    if rng.random() < frac:
+                        words.insert(rng.randrange(len(words)), hot_alias)
                 if lang == "zh":
                     words.extend(rng.choice(zh_filler) for _ in range(10))
                 text = " ".join(words)

@@ -128,3 +128,56 @@ def test_bmp_rejects_unsupported_variants():
         mm._decode_bmp(bytes(payload))
     with _pt.raises(ValueError, match="truncated"):
         mm._decode_bmp(bytes(mm.encode_bmp_media(4, 4, seed=0))[:-8])
+
+
+def test_auto_codec_routes_by_magic_bytes(spark):
+    """codec='auto' sniffs container magic per payload: one mixed binary
+    column carrying wav + bmp + fake + garbage decodes each row via the
+    right path, with the malformed row landing in decode_error."""
+    import numpy as np
+
+    wav = mm.encode_wav_media(128, seed=3)
+    bmp = mm.encode_bmp_media(10, 8, seed=3)
+    fake = mm.encode_fake_media("image", 16, 16, 3)
+    assert np.allclose(mm.decode_media(wav, "audio", codec="auto"),
+                       mm.decode_media(wav, "audio", codec="wav"))
+    assert np.allclose(mm.decode_media(bmp, "image", codec="auto"),
+                       mm.decode_media(bmp, "image", codec="bmp"))
+    assert np.allclose(mm.decode_media(fake, "image", codec="auto"),
+                       mm.decode_media(fake, "image", codec="fake"))
+    rows = [
+        Row(media_id="a", kind="audio", payload=wav),
+        Row(media_id="b", kind="image", payload=bmp),
+        Row(media_id="c", kind="image", payload=fake),
+        Row(media_id="d", kind="image", payload=bmp[:70]),  # truncated
+        Row(media_id="e", kind="video", payload=b"\x00\x01garbage"),
+    ]
+    out = {
+        r.media_id: r
+        for r in mm.with_media_features(
+            spark.createDataFrame(rows), codec="auto"
+        ).collect()
+    }
+    assert out["a"].decode_error is None and len(out["a"].features) > 0
+    assert out["b"].decode_error is None and len(out["b"].features) > 0
+    assert out["c"].decode_error is None and len(out["c"].features) > 0
+    assert out["d"].features is None and "ValueError" in out["d"].decode_error
+    assert out["e"].features is None and "unrecognized" in out["e"].decode_error
+
+
+def test_gate_row_covers_real_codecs(spark):
+    """The driver-contract rows-only entry must include wav/bmp rows
+    decoded by the REAL stdlib paths and exactly one decode_error row."""
+    import __spark_entry__ as E
+
+    rows = E._multimodal_features(spark, None).collect()
+    by_prefix = {}
+    for r in rows:
+        by_prefix.setdefault(r.media_id.rstrip("0123456789"), []).append(r)
+    assert len(by_prefix["wav"]) >= 5
+    assert all(r.decode_error is None and r.features for r in by_prefix["wav"])
+    assert len(by_prefix["bmp"]) >= 4
+    assert all(r.decode_error is None and r.features for r in by_prefix["bmp"])
+    assert all(r.decode_error is None for r in by_prefix["fake"])
+    (bad,) = by_prefix["bad"]
+    assert bad.features is None and bad.decode_error

@@ -49,3 +49,74 @@ def test_salted_repartition_spreads(spark):
     rep = skew.salted_repartition(large, "key", n_partitions=8)
     sizes = rep.groupBy(F.spark_partition_id().alias("p")).count().collect()
     assert max(r["count"] for r in sizes) < 900  # hot key split across partitions
+
+
+def test_adaptive_salted_join_equals_plain(spark):
+    large, small = _skewed(spark)
+    plain = large.join(small, "key").select("key", "other", "v", "label")
+    adaptive = skew.adaptive_salted_join(
+        large, small, "key", salt_cols=["other"], hot_threshold=100
+    ).select("key", "other", "v", "label")
+    assert plain.exceptAll(adaptive).count() == 0
+    assert adaptive.exceptAll(plain).count() == 0
+
+
+def test_adaptive_salted_join_left_semantics(spark):
+    large, small = _skewed(spark)
+    some = small.where("key <> 'hot'")
+    out = skew.adaptive_salted_join(
+        large, some, "key", salt_cols=["other"], hot_threshold=100, how="left"
+    )
+    assert out.count() == large.count()
+    assert out.where("label IS NULL").count() == 900
+
+
+def test_adaptive_salts_only_hot_keys(spark):
+    """Cold keys must not be replicated: build-side fan-out equals
+    n_small + (n_salts-1) * n_hot, not n_small * n_salts."""
+    large, small = _skewed(spark)
+    hot = skew.hot_keys(large, "key", hot_threshold=100)
+    assert [r["key"] for r in hot.collect()] == ["hot"]
+    n_salts = skew.DEFAULT_SALT
+    hot_b = F.broadcast(hot.withColumn("_hot", F.lit(True)))
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    sm = small.join(hot_b, "key", "left").withColumn(
+        "_salt", F.explode(F.when(F.col("_hot"), salts).otherwise(F.array(F.lit(0))))
+    )
+    assert sm.count() == small.count() + (n_salts - 1) * 1
+
+
+def test_score_pairs_auto_salting_identical_output(spark):
+    """scoring.score_pairs(salt_factor='auto') must be row-identical to
+    the unsalted plan on a skewed pair table (one viral url in most
+    pairs)."""
+    from pyspark.sql import Row
+
+    from entity_linking_spark.operators import scoring
+
+    pairs = spark.createDataFrame(
+        [Row(url_a="viral", url_b=f"u{i}") for i in range(200)]
+        + [Row(url_a=f"u{i}", url_b=f"u{i+1}") for i in range(50)]
+    )
+    urls = ["viral"] + [f"u{i}" for i in range(201)]
+    feats = spark.createDataFrame(
+        [
+            Row(
+                url=u,
+                vec=[float((hash(u) >> s) % 7 - 3) for s in range(8)],
+                mention=f"m {u}",
+                smap={f"e{abs(hash(u)) % 5}": 0.5},
+            )
+            for u in urls
+        ]
+    )
+    emb = feats.select("url", "vec")
+    tm = feats.select("url", "mention")
+    sup = feats.select("url", "smap")
+    base = scoring.score_pairs(pairs, sup, emb, tm)
+    auto = scoring.score_pairs(
+        pairs, sup, emb, tm, salt_factor="auto", hot_threshold=20
+    )
+    cols = base.columns
+    assert base.select(cols).exceptAll(auto.select(cols)).count() == 0
+    assert auto.select(cols).exceptAll(base.select(cols)).count() == 0
