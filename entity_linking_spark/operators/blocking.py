@@ -237,6 +237,8 @@ def detect_mentions_join(
     there is no per-key state. Output rows are per (url, selected span),
     identical as a SET to the trie path (row order differs — both are
     unordered DataFrames)."""
+    from pyspark import StorageLevel
+
     from entity_linking_spark.functions.normalize import normalize_udf, tokenize_udf
 
     alias_norm = (
@@ -249,12 +251,24 @@ def detect_mentions_join(
             F.element_at("_atoks", 1).alias("_first"),
             F.size("_atoks").alias("n"),
         )
+        # persist: the empty-string filter re-evaluates the normalize UDF
+        # under the projection (verified in the physical plan: stacked
+        # ArrowEvalPython) — same Catalyst behavior candidate_entities
+        # documents. The alias table is the dimension side (GBs at open-web
+        # KB scale, storable across executors; MEMORY_AND_DISK spills), so
+        # pinning it to run the UDF once per row is the right trade.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if tokens_col is None:
+        # tokens feed TWO subtrees (anchors + the verify join): without a
+        # persist the tokenizer UDF would run twice over the whole corpus
         toks = docs.select(
             F.col(url_col).alias("url"), tokenize_udf(F.col(text_col)).alias("tokens")
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     else:
+        # precomputed tokens (the pipeline's checkpointed s1 output):
+        # both subtree scans are cheap columnar re-reads — pinning a
+        # corpus-sized token table to executor storage would cost more
         toks = docs.select(F.col(url_col).alias("url"), F.col(tokens_col).alias("tokens"))
 
     anchors = toks.select("url", F.posexplode("tokens").alias("pos", "tok"))
