@@ -1540,3 +1540,91 @@ def j5_bm25_topk(spark, sf_dir):
         .select("query_id", "doc_id", F.round("score", 4).alias("bm25"), "rk")
         .orderBy("query_id", "rk")
     )
+
+
+# ------------------------------------------ mention detection (round 4)
+
+# Alias dictionary over the documents-corpus vocabulary with deliberate
+# overlap chains (table < table part < table part agg; key < sort key <
+# fast sort key; value < big query value) so the oracle exercises the
+# full greedy longest-match-first non-overlapping contract, not just
+# token equality.
+_MENTION_ALIASES = (
+    "table", "table part", "table part agg", "part",
+    "fast sort key", "sort key", "key", "scan",
+    "query big", "big query value", "value", "spark a a the",
+)
+
+# DuckDB twin replays the ENTIRE operator from first principles:
+# candidate matches by slice equality at every token position, then the
+# trie's greedy scan (el_process.py:65 longest-alias-wins, left to
+# right, non-overlapping) as a RECURSIVE CTE — the seed row is each
+# doc's (pos ASC, n DESC) first match, the recursive step takes the
+# next match starting at/after the previous selection's end. Char
+# offsets replay the cumulative token-position arithmetic. Valid on the
+# driver corpus because its text is clean single-space lowercase alnum
+# (verified: 0 rows diverge from ' '.join(split)), so string_split ==
+# BasicTokenizer and the normalized text == text.
+_MENTION_ORACLE = (
+    """
+WITH RECURSIVE
+al AS (SELECT alias, len(string_split(alias, ' ')) AS n FROM (VALUES
+    """
+    + ", ".join(f"('{a}')" for a in _MENTION_ALIASES)
+    + """
+  ) v(alias)),
+tk AS (SELECT CAST(doc_id AS VARCHAR) AS url, string_split(text, ' ') AS t
+       FROM documents),
+m AS (SELECT tk.url, p AS pos, al.n, al.alias
+      FROM tk CROSS JOIN al
+      CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(tk.t))) AS p) ps
+      WHERE p + al.n - 1 <= len(tk.t)
+        AND array_to_string(tk.t[p : p + al.n - 1], ' ') = al.alias),
+sel AS (
+    SELECT url, pos, n FROM (
+      SELECT url, pos, n,
+             row_number() OVER (PARTITION BY url ORDER BY pos ASC, n DESC) AS rn
+      FROM m) base WHERE rn = 1
+  UNION ALL
+    SELECT nxt.url, nxt.pos, nxt.n
+    FROM sel CROSS JOIN LATERAL (
+      SELECT m.url, m.pos, m.n FROM m
+      WHERE m.url = sel.url AND m.pos >= sel.pos + sel.n
+      ORDER BY m.pos ASC, m.n DESC LIMIT 1) nxt
+)
+SELECT s.url AS url,
+       array_to_string(tk.t[s.pos : s.pos + s.n - 1], ' ') AS mention,
+       CAST(CASE WHEN s.pos = 1 THEN 0
+            ELSE length(array_to_string(tk.t[1 : s.pos - 1], ' ')) + 1 END
+            AS INTEGER) AS start_pos,
+       CAST(CASE WHEN s.pos = 1 THEN 0
+            ELSE length(array_to_string(tk.t[1 : s.pos - 1], ' ')) + 1 END
+            + length(array_to_string(tk.t[s.pos : s.pos + s.n - 1], ' '))
+            AS INTEGER) AS end_pos
+FROM sel s JOIN tk ON s.url = tk.url
+ORDER BY url, start_pos
+"""
+)
+
+
+@query("mention_detect_greedy", _MENTION_ORACLE)
+def mention_detect_greedy(spark, sf_dir):
+    """Dictionary mention detection through the round-4 BEYOND-BROADCAST
+    join path (operators/blocking.detect_mentions_join): posexplode
+    anchors -> first-token equi-join -> JVM span verify -> aggregate()
+    greedy longest-match fold. No driver-side alias collect anywhere.
+    Oracle-backed (the trie path is pytest-pinned byte-identical to this
+    one, so the hash gate covers both).
+
+    Reference contract: jieba user-dict cut + longest-alias-wins
+    ordering, entity_sort/el_process.py:37-43,65."""
+    from entity_linking_spark.operators.blocking import detect_mentions_join
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    aliases = spark.createDataFrame(
+        [(a, f"e{i}") for i, a in enumerate(_MENTION_ALIASES)],
+        "alias string, subject_id string",
+    )
+    return detect_mentions_join(docs, aliases).orderBy("url", "start_pos")
