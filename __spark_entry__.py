@@ -21,7 +21,10 @@ f7_f10_f11_f12_f16_scalar_chain; F9+F13 -> f9_f13_window_slice_offset;
 A11 + the text-quality / token-count / lang-id / fingerprint ops ->
 text_analysis_suite; S1/S2/S4 -> s1_s4_jsonl_bz2_scan; J4 semi + anti
 -> j4_semi_anti_join (round 3, freeing the slot that now holds the
-oracle-backed j5_bm25_topk — J5 was rows-only through round 2).
+oracle-backed j5_bm25_topk — J5 was rows-only through round 2);
+P5 + P6 -> p5_p6_array_filter_remove (round 4, freeing the slot that
+now holds the oracle-backed mention_detect_greedy: the beyond-broadcast
+join mention path with a recursive-CTE greedy-scan DuckDB twin).
 """
 
 from __future__ import annotations

@@ -46,6 +46,7 @@ def main() -> None:
         "ngram_jaccard_similarity",
         "dedup_minhash_pairs",
         "j5_bm25_topk",
+        "mention_detect_greedy",
     ]
     all_q = Q.all_queries()
     times: dict[str, float] = {}

@@ -102,26 +102,8 @@ def p7_stopword_filter(spark, sf_dir):
     )
 
 
-@query(
-    "p6_array_remove_nil",
-    """SELECT doc_id,
-              array_to_string(list_filter(string_split(text, ' '), x -> x <> 'the'), ' ') AS cleaned
-       FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
-)
-def p6_array_remove_nil(spark, sf_dir):
-    """P6/SO2: array_remove of a sentinel ('NIL') from a list
-    (el_preprocess.py:96-115)."""
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.where(F.col("doc_id") < 50)
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ", F.array_remove(F.split(F.col("text"), " "), "the")
-            ).alias("cleaned"),
-        )
-        .orderBy("doc_id")
-    )
+# (p6_array_remove_nil merged into p5_p6_array_filter_remove above,
+# round 4 — both op ids still exercised and visible in the slot name)
 
 
 # ------------------------------------------------------------------ joins
@@ -824,17 +806,22 @@ def ann_cosine_topk(spark, sf_dir):
 
 
 @query(
-    "p5_emoji_alias_filter",
+    "p5_p6_array_filter_remove",
     """SELECT doc_id,
               len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '), x -> x NOT IN ('the','a','of','and','on'))) AS n_removed,
-              array_to_string(list_filter(string_split(text, ' '), x -> x NOT IN ('the','a','of','and','on'))[1:8], ' ') AS kept_head
+              array_to_string(list_filter(string_split(text, ' '), x -> x NOT IN ('the','a','of','and','on'))[1:8], ' ') AS kept_head,
+              array_to_string(list_filter(string_split(text, ' '), x -> x <> 'the'), ' ') AS cleaned
        FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
 )
-def p5_emoji_alias_filter(spark, sf_dir):
-    """P5: drop array elements found in a broadcast bad-token set — the
-    emoji-alias filter shape (data_ingestion.py:81-94 drops aliases in
-    emoji.UNICODE_EMOJI) as a higher-order array filter; the stand-in
-    set is a stopword list since this corpus has no emoji."""
+def p5_p6_array_filter_remove(spark, sf_dir):
+    """P5 + P6 merged (round 4, freeing the slot that now holds the
+    oracle-backed mention_detect_greedy — the same one-in-one-out
+    pattern as the r3 j4 merge). P5: drop array elements found in a
+    broadcast bad-token set — the emoji-alias filter shape
+    (data_ingestion.py:81-94 drops aliases in emoji.UNICODE_EMOJI) as a
+    higher-order array filter; the stand-in set is a stopword list
+    since this corpus has no emoji. P6: NIL-token array_remove
+    (el_process.py array_remove analog) over the same token arrays."""
     banned = ("the", "a", "of", "and", "on")
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -845,6 +832,7 @@ def p5_emoji_alias_filter(spark, sf_dir):
             "doc_id",
             (F.size(toks) - F.size(kept)).alias("n_removed"),
             F.concat_ws(" ", F.slice(kept, 1, 8)).alias("kept_head"),
+            F.concat_ws(" ", F.array_remove(toks, "the")).alias("cleaned"),
         )
         .orderBy("doc_id")
     )
