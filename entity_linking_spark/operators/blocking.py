@@ -267,9 +267,18 @@ def detect_mentions_join(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if tokens_col is None:
+        # spread the corpus before the Python stage, but ONLY when the
+        # scan yields fewer splits than cores (pipeline._extract's
+        # pattern — a small parquet input arrives as 1-2 splits and
+        # would tokenize on one core; measured 3.9 s -> sub-second on
+        # the sf0.1 corpus)
+        src = docs
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < par:
+            src = docs.repartition(par)
         # tokens feed TWO subtrees (anchors + the verify join): without a
         # persist the tokenizer UDF would run twice over the whole corpus
-        toks = docs.select(
+        toks = src.select(
             F.col(url_col).alias("url"), tokenize_udf(F.col(text_col)).alias("tokens")
         ).persist(StorageLevel.MEMORY_AND_DISK)
     else:
