@@ -180,3 +180,37 @@ def test_alias_row_estimate_parquet_footer(spark, tmp_path):
     assert blocking.alias_row_estimate(spark.read.parquet(p)) == 37
     # in-memory fallback
     assert blocking.alias_row_estimate(_aliases(spark, [("x", "e1")])) == 1
+
+
+def test_detect_mentions_join_randomized_equivalence(spark):
+    """Seeded randomized corpora x alias sets: the join path must equal
+    the trie path on every draw — multi-token aliases built FROM corpus
+    vocabulary (so anchors collide), plus aliases with corpus-absent
+    tokens (join path drops them outright; trie simply never matches)."""
+    import random
+
+    rng = random.Random(404)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(3):
+        docs_rows = []
+        for d in range(40):
+            n = rng.randint(0, 25)
+            docs_rows.append(
+                (f"d{trial}_{d}", " ".join(rng.choice(vocab) for _ in range(n)))
+            )
+        alias_set = set()
+        for _ in range(25):
+            k = rng.randint(1, 4)
+            alias_set.add(" ".join(rng.choice(vocab) for _ in range(k)))
+        alias_set.add("w0 neverintext")  # corpus-absent token
+        alias_set.add("")  # degenerate
+        docs = _docs(spark, docs_rows)
+        aliases = _aliases(spark, [(a, f"e{i}") for i, a in enumerate(alias_set)])
+        trie = sorted(
+            map(tuple, blocking.detect_mentions(docs, sorted(alias_set)).collect())
+        )
+        join = sorted(
+            map(tuple, blocking.detect_mentions_join(docs, aliases).collect())
+        )
+        assert trie == join, f"trial {trial}: {len(trie)} vs {len(join)}"
+        assert len(trie) > 0
