@@ -207,11 +207,16 @@ def score_pairs(
         from entity_linking_spark.operators import skew
 
         ht = hot_threshold if hot_threshold is not None else skew.DEFAULT_HOT_THRESHOLD
+        # both hot sets come from the RAW pair table: the feature joins
+        # are 1:1 per url, so url_b multiplicity after the first join
+        # equals its multiplicity in pairs — computing the second hot
+        # set there would re-evaluate the first join just to count keys
         feat = skew.adaptive_salted_join(
             skew.adaptive_salted_join(
                 pairs, fa, "url_a", salt_cols=["url_b"], hot_threshold=ht, how="left"
             ),
             fb, "url_b", salt_cols=["url_a"], hot_threshold=ht, how="left",
+            hot_keys_df=skew.hot_keys(pairs, "url_b", ht),
         )
     elif salt_factor:
         from entity_linking_spark.operators.skew import salted_join

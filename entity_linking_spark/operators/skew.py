@@ -95,10 +95,17 @@ def adaptive_salted_join(
     n_salts: int = DEFAULT_SALT,
     hot_threshold: int = DEFAULT_HOT_THRESHOLD,
     how: str = "inner",
+    hot_keys_df: DataFrame | None = None,
 ) -> DataFrame:
     """Salt ONLY the keys that are actually hot — auto-selected from an
     exact key-frequency pass over the probe side, so uniform workloads
     pay no replication and skewed ones get no straggler.
+
+    ``hot_keys_df``: precomputed hot-key set (columns = the join keys).
+    Pass it when ``large`` is itself an expensive subtree whose key
+    multiplicities equal some cheaper table's (e.g. after a 1:1 feature
+    join, the pair table's) — otherwise the frequency pass would
+    re-evaluate that subtree.
 
     Mechanics: the (tiny by construction: <= rows/threshold keys) hot
     set broadcasts onto both sides as a map-side flag. Hot probe rows
@@ -110,7 +117,8 @@ def adaptive_salted_join(
     branches, and the hot key's rows land in n_salts reduce partitions
     instead of one."""
     keys = [key] if isinstance(key, str) else list(key)
-    hot = F.broadcast(hot_keys(large, keys, hot_threshold).withColumn("_hot", F.lit(True)))
+    base_hot = hot_keys_df if hot_keys_df is not None else hot_keys(large, keys, hot_threshold)
+    hot = F.broadcast(base_hot.withColumn("_hot", F.lit(True)))
     lg = (
         large.join(hot, keys, "left")
         .withColumn(
