@@ -217,3 +217,35 @@ def test_pipeline_join_mention_path_identical(spark, fixtures, workdir):
         assert prf["f1"] >= 0.99, prf
     finally:
         shutil.rmtree(jd, ignore_errors=True)
+
+
+def test_pipeline_auto_flips_to_join_path(spark, fixtures, monkeypatch):
+    """With a parquet-backed alias table whose FOOTER row count exceeds
+    alias_broadcast_max_rows, the pipeline must take the join path
+    without ever touching the trie matcher or collecting aliases —
+    asserted by making the trie entrypoint explode if called."""
+    import tempfile
+
+    from entity_linking_spark.operators import blocking
+
+    def _boom(*a, **k):
+        raise AssertionError("trie path used despite beyond-broadcast aliases")
+
+    monkeypatch.setattr(blocking, "detect_mentions", _boom)
+    jd = tempfile.mkdtemp(prefix="el_autoflip_")
+    ad = tempfile.mkdtemp(prefix="el_autoflip_aliases_")
+    try:
+        fixtures["aliases"].write.mode("overwrite").parquet(ad)
+        aliases_pq = spark.read.parquet(ad)
+        clusters = run_pipeline(
+            spark,
+            fixtures["documents"],
+            aliases_pq,
+            jd,
+            alias_broadcast_max_rows=10,  # footer estimate is far larger
+        )
+        prf = pairwise_prf(clusters, fixtures["labeled_pairs"])
+        assert prf["f1"] >= 0.99, prf
+    finally:
+        shutil.rmtree(jd, ignore_errors=True)
+        shutil.rmtree(ad, ignore_errors=True)
