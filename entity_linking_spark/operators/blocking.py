@@ -206,6 +206,7 @@ def detect_mentions_join(
     url_col: str = "url",
     tokens_col: str | None = None,
     alias_col: str = "alias",
+    pre_normalized: bool = False,
 ) -> DataFrame:
     """Beyond-broadcast mention detection: pure-join path, byte-identical
     output to ``detect_mentions`` (pytest-pinned), with NO driver-side
@@ -252,20 +253,33 @@ def detect_mentions_join(
 
     from entity_linking_spark.functions.normalize import normalize_udf, tokenize_udf
 
-    alias_norm = (
-        aliases.select(normalize_udf(F.col(alias_col)).alias("alias"))
-        .where(F.col("alias") != "")
-        .distinct()
-        .withColumn("_atoks", F.split("alias", " "))
-        .select("alias", "_atoks", F.size("_atoks").alias("n"))
-        # persist: the empty-string filter re-evaluates the normalize UDF
-        # under the projection (verified in the physical plan: stacked
-        # ArrowEvalPython) — same Catalyst behavior candidate_entities
-        # documents. The alias table is the dimension side (GBs at open-web
-        # KB scale, storable across executors; MEMORY_AND_DISK spills), so
-        # pinning it to run the UDF once per row is the right trade.
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if pre_normalized:
+        # caller already normalized (and persisted) the alias table —
+        # the streaming micro-batch loop's contract, same as
+        # candidate_entities: re-persisting per batch would pin a fresh
+        # copy of the full alias table every micro-batch
+        alias_norm = (
+            aliases.select(F.col(alias_col).alias("alias"))
+            .distinct()
+            .withColumn("_atoks", F.split("alias", " "))
+            .select("alias", "_atoks", F.size("_atoks").alias("n"))
+        )
+    else:
+        alias_norm = (
+            aliases.select(normalize_udf(F.col(alias_col)).alias("alias"))
+            .where(F.col("alias") != "")
+            .distinct()
+            .withColumn("_atoks", F.split("alias", " "))
+            .select("alias", "_atoks", F.size("_atoks").alias("n"))
+            # persist: the empty-string filter re-evaluates the normalize
+            # UDF under the projection (verified in the physical plan:
+            # stacked ArrowEvalPython) — same Catalyst behavior
+            # candidate_entities documents. The alias table is the
+            # dimension side (GBs at open-web KB scale, storable across
+            # executors; MEMORY_AND_DISK spills), so pinning it to run
+            # the UDF once per row is the right trade.
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     if tokens_col is None:
         # spread the corpus before the Python stage, but ONLY when the
         # scan yields fewer splits than cores (pipeline._extract's

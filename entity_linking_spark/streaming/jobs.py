@@ -167,7 +167,7 @@ def streaming_link_microbatch(
     spark: SparkSession,
     new_docs_stream: DataFrame,
     aliases: DataFrame,
-    alias_list: list[str],
+    alias_list: list[str] | None,
     sink_path: str,
     checkpoint_path: str,
 ) -> StreamingQuery:
@@ -175,6 +175,11 @@ def streaming_link_microbatch(
     detection + candidate generation on the new pages and append the
     candidate table (reference service loop, service_main.py:93-175,
     re-expressed as micro-batches).
+
+    ``alias_list=None`` selects the beyond-broadcast JOIN mention path
+    per batch (blocking.detect_mentions_join) — the streaming service
+    keeps working when the KB no longer fits a driver collect; output is
+    identical (stream-batch parity pytest covers both modes).
 
     The alias table is normalized + persisted ONCE here, outside the
     batch loop (pre_normalized=True below): calling candidate_entities's
@@ -192,7 +197,12 @@ def streaming_link_microbatch(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        mentions = blocking.detect_mentions(batch_df, alias_list)
+        if alias_list is None:  # beyond-broadcast KB: join path per batch
+            mentions = blocking.detect_mentions_join(
+                batch_df, alias_norm, pre_normalized=True
+            )
+        else:
+            mentions = blocking.detect_mentions(batch_df, alias_list)
         cands = blocking.candidate_entities(mentions, alias_norm, pre_normalized=True)
         cands.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
             sink_path

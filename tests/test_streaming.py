@@ -218,3 +218,46 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert dropped == 1  # and the engine metric shows exactly one drop
     # no duplicate emission of the 10:00 window
     assert len([r for r in rows if r.window_start == "2024-01-01 10:00"]) == 1
+
+
+def test_foreachbatch_linkage_join_path_parity(spark, tmp_path):
+    """alias_list=None (beyond-broadcast join mention path) through the
+    REAL streaming engine must produce the same candidate set as the
+    batch trie path over the same corpus — S11 keeps serving when the
+    KB outgrows any driver collect."""
+    from entity_linking_spark import schema as S
+    from entity_linking_spark.operators import blocking
+
+    fx_docs = S.synth_documents(n_docs=60, n_entities=30)
+    kb = S.synth_kb(30)
+    aliases = spark.createDataFrame(S.kb_to_aliases(kb), schema=S.ALIASES_SCHEMA)
+    alias_list = [a for al in kb["alias"] for a in al]
+
+    src = str(tmp_path / "docs_src_join")
+    spark.createDataFrame(fx_docs, schema=S.DOCUMENTS_SCHEMA).select(
+        "url", "text"
+    ).write.parquet(src)
+    sink = str(tmp_path / "cand_sink_join")
+    ckpt = str(tmp_path / "ckpt_join")
+    stream = (
+        spark.readStream.schema("url string, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    q = jobs.streaming_link_microbatch(spark, stream, aliases, None, sink, ckpt)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(sink)
+    docs = spark.createDataFrame(fx_docs, schema=S.DOCUMENTS_SCHEMA)
+    batch_cands = blocking.candidate_entities(
+        blocking.detect_mentions(docs, alias_list), aliases
+    )
+    stream_set = {
+        (r.url, r.mention, r.subject_id)
+        for r in got.select("url", "mention", "subject_id").collect()
+    }
+    batch_set = {
+        (r.url, r.mention, r.subject_id)
+        for r in batch_cands.select("url", "mention", "subject_id").collect()
+    }
+    assert stream_set == batch_set and len(stream_set) > 0
