@@ -214,3 +214,25 @@ def test_detect_mentions_join_randomized_equivalence(spark):
         )
         assert trie == join, f"trial {trial}: {len(trie)} vs {len(join)}"
         assert len(trie) > 0
+
+
+def test_p2_malformed_url_drops_from_host_keys_only(spark):
+    """P2 isNotNull gate: a malformed crawl url must not kill the
+    blocking stage (Spark 4 parse_url THROWS; we use try_parse_url) —
+    the row silently loses its host: key but still blocks via its other
+    keys."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(url="https://ok.example.org/p/1", tokens=["alpha", "beta"]),
+            Row(url="http://bad url with spaces", tokens=["alpha", "beta"]),
+        ]
+    )
+    keys = blocking.blocking_keys(
+        docs, candidates=None, use_host=True, use_entity=False, use_minhash=True
+    ).collect()
+    host_keys = {r.url for r in keys if r.key.startswith("host:")}
+    mh_keys = {r.url for r in keys if r.key.startswith("mh:")}
+    assert host_keys == {"https://ok.example.org/p/1"}
+    assert mh_keys == {"https://ok.example.org/p/1", "http://bad url with spaces"}

@@ -46,7 +46,7 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     arm = sys.argv[3] if len(sys.argv) > 3 else "capped"
-    assert arm in ("capped", "uncapped"), arm
+    assert arm in ("capped", "uncapped", "uncapped_nosalt"), arm
 
     import pandas as pd
     from pyspark.sql import functions as F
@@ -76,11 +76,15 @@ def main() -> None:
 
     workdir = f"{base}/run_{arm}"
     shutil.rmtree(workdir, ignore_errors=True)
-    cfg = (
-        dict(max_block_size=CAP, salt_factor="auto")
-        if arm == "capped"
-        else dict(max_block_size=10**9, salt_factor="auto", salt_hot_threshold=2000)
-    )
+    cfg = {
+        "capped": dict(max_block_size=CAP, salt_factor="auto"),
+        "uncapped": dict(
+            max_block_size=10**9, salt_factor="auto", salt_hot_threshold=2000
+        ),
+        # salting isolated: same blown-up pair table, no salt — the
+        # A/B partner for the uncapped arm
+        "uncapped_nosalt": dict(max_block_size=10**9, salt_factor=None),
+    }[arm]
     t0 = time.time()
     clusters = run_pipeline(
         spark, docs.drop("truth_entity"), aliases, workdir, **cfg
