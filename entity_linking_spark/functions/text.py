@@ -232,3 +232,38 @@ def rolling_hash_udf(text: pd.Series) -> pd.Series:
     _poly_hash per window; _window_min_hash is exact-equal by identity,
     not approximation)."""
     return text.map(lambda t: _window_min_hash(t) if t is not None else None)
+
+
+# --- PII scrubbing (training-data curation) ------------------------------
+
+# Pure regexp_replace chains (JVM, whole-stage codegen — the hot path of
+# a corpus-curation job must never drop into Python). Patterns are the
+# conventional conservative web-text forms; the goal is a pre-training
+# scrub pass, not a compliance guarantee.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b"
+_PII_PHONE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+_PII_URL_CREDS = r"(?i)(https?://)[^/\s:@]+:[^/\s:@]+@"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4s, phone-like digit runs, and URL-embedded
+    credentials with typed placeholders. Order matters: credentials
+    before emails (the user:pass@host form contains an @), emails
+    before phones (digits inside an address must not re-match)."""
+    c = F.regexp_replace(text, _PII_URL_CREDS, r"$1[CREDS]@")
+    c = F.regexp_replace(c, _PII_EMAIL, "[EMAIL]")
+    c = F.regexp_replace(c, _PII_IPV4, "[IP]")
+    c = F.regexp_replace(c, _PII_PHONE, "[PHONE]")
+    return c
+
+
+def pii_hit_count(text: Column) -> Column:
+    """How many PII spans redact_pii would touch — the per-doc risk
+    signal a curation pipeline filters/sorts on (docs above a threshold
+    are typically dropped rather than scrubbed)."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(_PII_EMAIL), 0))
+        + F.size(F.regexp_extract_all(text, F.lit(_PII_IPV4), 0))
+        + F.size(F.regexp_extract_all(text, F.lit(_PII_PHONE), 0))
+    )
