@@ -430,8 +430,15 @@ def candidate_entities(
     ambiguity = alias_norm.groupBy("alias").agg(
         F.countDistinct("subject_id").alias("n_ids")
     )
-    alias_b = F.broadcast(
-        alias_norm.join(ambiguity.where(F.col("n_ids") <= max_ambiguity), "alias")
+    # NO forced broadcast hint (round 4): a hint overrides size stats, and
+    # at the 10M-doc scale point (1M entities, 3.4M alias rows) the forced
+    # broadcast build blew spark.driver.maxResultSize — the same
+    # broadcast-scale assumption class as the retired trie collect. AQE
+    # picks broadcast at runtime whenever the filtered alias side is
+    # actually small, and falls back to a shuffle join when the KB is
+    # beyond broadcast — which is the only plan that works there anyway.
+    alias_b = alias_norm.join(
+        ambiguity.where(F.col("n_ids") <= max_ambiguity), "alias"
     )
     return (
         mentions.join(alias_b, mentions.mention == alias_b["alias"])

@@ -48,6 +48,10 @@ def get_spark(
         # at local[32] with an 8g heap). On a real cluster this maps to
         # spark.executor.memory per executor instead.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # default 1g killed a legitimate mid-size broadcast build at the
+        # 10M-doc scale point; 4g gives dimension-table headroom while
+        # still failing fast on a genuinely unbounded collect
+        .config("spark.driver.maxResultSize", "4g")
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get("SPARK_GC_OPTS", ""),
