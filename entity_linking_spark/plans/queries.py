@@ -136,8 +136,11 @@ def j2_coalesce_fallback_join(spark, sf_dir):
     """J2: left join + coalesce fallback (link_wikipedia_and_wikidata.py:76-102)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    # un-hinted (round 4): customer is only broadcastable at bench SFs —
+    # a forced hint would OOM the driver at warehouse scale; AQE
+    # broadcasts at runtime when the side is actually small
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        o.join(c, o.o_custkey == c.c_custkey, "left")
         .select("o_orderkey", F.coalesce("c_name", F.lit("UNKNOWN")).alias("buyer"))
         .orderBy("o_orderkey")
         .limit(500)
