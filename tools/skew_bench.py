@@ -108,9 +108,14 @@ def main() -> None:
     max_kept = kept.agg(F.max("n")).collect()[0][0]
     # max rows in one reduce partition of the pair self-join's exchange
     # (hash-partition the KEPT key rows by key at the session's shuffle
-    # width — the same placement the join's exchange produces)
+    # width — the same placement the join's exchange produces).
+    # anti-join the TINY over-cap list, never broadcast the huge kept
+    # list (at 10M docs the kept-key set is ~10^8 rows / 12 GiB — the
+    # broadcast of it killed this stats pass; the stop list is <=
+    # rows/cap keys)
+    stop_keys = sizes.where(F.col("n") > cfg["max_block_size"]).select("k")
     kept_rows = keys.select(F.xxhash64("key").alias("k"), "url").join(
-        F.broadcast(kept.select("k")), "k"
+        F.broadcast(stop_keys), "k", "left_anti"
     )
     part_sizes = (
         kept_rows.repartition(F.col("k"))
