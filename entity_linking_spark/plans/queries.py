@@ -738,6 +738,73 @@ FROM c WHERE doc_id < 200 ORDER BY doc_id
 _ORACLES["text_analysis_suite"] = _text_suite_oracle()
 
 
+# PII oracle: the corpus has no organic PII, so both sides inject the
+# SAME deterministic spans (doc_id-derived email / IPv4 / phone / URL
+# credentials) before scrubbing — the regex chains then do real work on
+# every residue class. Patterns live in functions/text.py and are written
+# in the Java∩RE2 common subset (no lookaround, no \x0B-sensitive \s
+# inputs) precisely so this DuckDB twin replays them verbatim; only the
+# backreference spelling differs ($1 vs \1).
+_PII_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 010-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' see http://u' || CAST(doc_id AS VARCHAR) || ':secret@host.net/x' ELSE '' END
+         AS t
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+           '(?i)(https?://)[^/\s:@]+:[^/\s:@]+@', '\1[CREDS]@', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b', '[IP]', 'g'),
+           '\+?[0-9][0-9()\-\s]{7,}[0-9]', '[PHONE]', 'g') AS redacted,
+       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+       + len(regexp_extract_all(t, '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b'))
+       + len(regexp_extract_all(t, '\+?[0-9][0-9()\-\s]{7,}[0-9]')) AS pii_hits
+FROM aug ORDER BY doc_id
+"""
+
+
+@query("pii_scrub", _PII_ORACLE)
+def pii_scrub(spark, sf_dir):
+    """PII scrubbing pass of a corpus-curation job: typed-placeholder
+    redaction + per-doc hit count (the drop/keep risk signal). Pure
+    regexp_replace Column chains (functions/text.py:249,261) — JVM
+    whole-stage codegen, no Python in the hot path."""
+    from entity_linking_spark.functions.text import pii_hit_count, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" contact user"), s(did), F.lit("@example.com"))
+               ).otherwise(F.lit("")),
+        F.when(did % 4 == 0,
+               F.concat(F.lit(" from 10."), s(did % 256), F.lit("."),
+                        s((did * 7) % 256), F.lit("."), s((did * 13) % 256))
+               ).otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" call +1 (555) 010-"), s(did % 9000 + 1000))
+               ).otherwise(F.lit("")),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" see http://u"), s(did), F.lit(":secret@host.net/x"))
+               ).otherwise(F.lit("")),
+    )
+    return (
+        d.select(
+            "doc_id",
+            redact_pii(aug).alias("redacted"),
+            pii_hit_count(aug).cast("long").alias("pii_hits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "ngram_jaccard_similarity",
     """WITH grams AS (
