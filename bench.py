@@ -71,8 +71,10 @@ def main() -> None:
     # bucketed paths must surface in the bench, not just pytest)
     for name, fn in (("ann_lsh_topk", entry_mod._ann_lsh), ("ann_ivf_topk", entry_mod._ann_ivf)):
         t0 = time.time()
-        assert fn(spark, sf_dir).count() >= 0
+        n = fn(spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)
+        # empty top-k = a broken bucketing join, not a timing data point
+        assert n > 0, f"{name} returned no rows"
 
     # end-to-end EL pipeline on a synthesized web corpus (fixture written
     # to parquet untimed; the timed portion is the pipeline itself)

@@ -197,9 +197,12 @@ def _window_min_hash(t: str) -> int:
     toks = s.split(" ")
     n_toks = len(toks)
     nc = len(s)
-    _grow_powers(nc + 1)
     if n_toks <= _WINDOW:
+        # before growing the tables: a giant single-token doc (minified
+        # JS, base64 blob) takes this scalar path and must not pin
+        # O(chars) of power-table ints in the worker forever
         return _poly_hash(s)
+    _grow_powers(nc + 1)
     pw = np.asarray(_POW31[: nc + 1], dtype=np.int64)
     inv = np.asarray(_INV31[:nc], dtype=np.int64)
     cps = np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(np.int64)

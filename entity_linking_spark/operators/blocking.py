@@ -193,7 +193,14 @@ def alias_row_estimate(aliases: DataFrame) -> int:
 
         total = 0
         for f in files:
-            path = urlparse(f).path if "://" in f or f.startswith("file:") else f
+            parsed = urlparse(f)
+            if parsed.scheme not in ("", "file"):
+                # remote storage (hdfs://, s3a://, ...): the driver-side
+                # pyarrow open can't reuse the executor URI, and stripping
+                # the scheme would probe a bogus local path — pay one
+                # count() job on the alias table instead
+                return aliases.count()
+            path = parsed.path if parsed.scheme == "file" else f
             total += pq.ParquetFile(path).metadata.num_rows
         return total
     return aliases.count()
@@ -207,6 +214,7 @@ def detect_mentions_join(
     tokens_col: str | None = None,
     alias_col: str = "alias",
     pre_normalized: bool = False,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Beyond-broadcast mention detection: pure-join path, byte-identical
     output to ``detect_mentions`` (pytest-pinned), with NO driver-side
@@ -248,7 +256,12 @@ def detect_mentions_join(
     that is still some alias's rarest) is AQE-skew-splittable, since
     unlike the trie there is no per-key state. Output rows are per
     (url, selected span), identical as a SET to the trie path (row
-    order differs — both are unordered DataFrames)."""
+    order differs — both are unordered DataFrames).
+
+    ``cache_registry``: when given, every DataFrame this call persists is
+    appended to it so a repeated caller (the streaming micro-batch loop)
+    can unpersist after its action instead of leaking one storage entry
+    per invocation."""
     from pyspark import StorageLevel
 
     from entity_linking_spark.functions.normalize import normalize_udf, tokenize_udf
@@ -280,6 +293,8 @@ def detect_mentions_join(
             # the UDF once per row is the right trade.
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        if cache_registry is not None:
+            cache_registry.append(alias_norm)
     if tokens_col is None:
         # spread the corpus before the Python stage, but ONLY when the
         # scan yields fewer splits than cores (pipeline._extract's
@@ -295,6 +310,12 @@ def detect_mentions_join(
         toks = src.select(
             F.col(url_col).alias("url"), tokenize_udf(F.col(text_col)).alias("tokens")
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        # a repeated caller (the streaming micro-batch loop) must be able
+        # to release this batch-scoped cache entry after its action —
+        # otherwise every foreachBatch invocation pins a new one until
+        # driver GC + ContextCleaner catch up
+        if cache_registry is not None:
+            cache_registry.append(toks)
     else:
         # precomputed tokens (the pipeline's checkpointed s1 output):
         # both subtree scans are cheap columnar re-reads — pinning a
@@ -578,6 +599,11 @@ def candidate_pairs(
     # collision would merge two unrelated blocks — blocking is a
     # candidate generator, so the extra pairs are filtered by exact
     # scoring downstream, same as any other block co-occurrence.
+    if overflow not in ("drop", "split"):
+        # a typo must not silently select the drop branch — the recall
+        # loss of dropping mid-size blocks the caller asked to re-block
+        # would be invisible in a well-formed output
+        raise ValueError(f"overflow must be 'drop' or 'split', got {overflow!r}")
     hashed = keys.select(F.xxhash64("key").alias("key"), "url")
     if cache_keys:
         from pyspark import StorageLevel

@@ -197,16 +197,27 @@ def streaming_link_microbatch(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if alias_list is None:  # beyond-broadcast KB: join path per batch
-            mentions = blocking.detect_mentions_join(
-                batch_df, alias_norm, pre_normalized=True
+        batch_caches: list[DataFrame] = []
+        try:
+            if alias_list is None:  # beyond-broadcast KB: join path per batch
+                mentions = blocking.detect_mentions_join(
+                    batch_df, alias_norm, pre_normalized=True,
+                    cache_registry=batch_caches,
+                )
+            else:
+                mentions = blocking.detect_mentions(batch_df, alias_list)
+            cands = blocking.candidate_entities(
+                mentions, alias_norm, pre_normalized=True
             )
-        else:
-            mentions = blocking.detect_mentions(batch_df, alias_list)
-        cands = blocking.candidate_entities(mentions, alias_norm, pre_normalized=True)
-        cands.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            sink_path
-        )
+            cands.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(sink_path)
+        finally:
+            # release the batch-scoped token cache eagerly: a long-running
+            # stream must not accumulate one executor storage entry per
+            # micro-batch while waiting on driver GC
+            for df in batch_caches:
+                df.unpersist()
 
     return (
         new_docs_stream.writeStream.foreachBatch(handle)
