@@ -20,11 +20,20 @@ def fixtures(spark):
 
 
 @pytest.fixture(scope="module")
-def workdir(tmp_path_factory):
-    return str(tmp_path_factory.mktemp("el_e2e"))
+def workdir(spark, fixtures, tmp_path_factory):
+    """Trie-path pipeline stages, built once per module BY THE FIXTURE:
+    the downstream tests (lineage, resume, join-path identity) read these
+    stage dirs, and building here keeps each of them runnable under any
+    -k subset instead of silently depending on test_end_to_end_f1 having
+    executed first."""
+    d = str(tmp_path_factory.mktemp("el_e2e"))
+    run_pipeline(spark, fixtures["documents"], fixtures["aliases"], d)
+    return d
 
 
 def test_end_to_end_f1(spark, fixtures, workdir):
+    # resumes from the fixture's complete stages — resume identity is
+    # itself asserted by test_resume_from_checkpoint below
     clusters = run_pipeline(
         spark, fixtures["documents"], fixtures["aliases"], workdir
     )

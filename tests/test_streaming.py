@@ -244,8 +244,15 @@ def test_foreachbatch_linkage_join_path_parity(spark, tmp_path):
         .option("maxFilesPerTrigger", "2")
         .parquet(src)
     )
+    cached_before = len(spark.sparkContext._jsc.getPersistentRDDs())
     q = jobs.streaming_link_microbatch(spark, stream, aliases, None, sink, ckpt)
     q.awaitTermination(180)
+
+    # the batch-scoped token caches must be released per micro-batch; only
+    # the once-persisted alias table may remain for the stream's lifetime
+    # (a long-running service must not grow storage by one entry per batch)
+    cached_after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert cached_after - cached_before <= 1, (cached_before, cached_after)
 
     got = spark.read.parquet(sink)
     docs = spark.createDataFrame(fx_docs, schema=S.DOCUMENTS_SCHEMA)
