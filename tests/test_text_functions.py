@@ -201,3 +201,61 @@ def test_redact_pii_and_hit_count(spark):
     assert out[4][0] == "fetch https://[CREDS]@host.example/path ok"
     assert out[5] == ("clean text with no pii at all", 0)
     assert out[6] == (None, None)
+
+
+def test_pii_scrub_java_re2_parity(spark):
+    """The pii_scrub gate row claims its patterns sit in the Java∩RE2
+    common subset, but the gate corpus only exercises the injected spans
+    — pin the claim here on adversarial strings through BOTH engines
+    (Spark regexp_replace = java.util.regex, DuckDB = RE2), built from
+    the same pattern constants so the two sides cannot drift."""
+    import duckdb
+    from pyspark.sql import Row
+
+    from entity_linking_spark.functions import text as T2
+
+    cases = [
+        "plain words only",
+        "a@b.co tight email",
+        "trailing dot a@b.com. stays",
+        "no tld user@localhost here",
+        "HTTP://U:P@X.IO uppercase scheme",
+        "mixed user1@example.com 10.0.0.1 +1 (555) 010-9999 end",
+        "edge ip 255.255.255.255",
+        "bad ip 999.999.999.999",
+        "256.1.1.1 leading-invalid octet",
+        "glued10.0.0.1noboundary",
+        "digits 12345678901 run",
+        "short 1234567 run",
+        "parens (020) 7946-0958 phone",
+        "plus only + 12345678 x",
+        "ünïcode user@example.com ärøund",
+        "two emails a@b.com c@d.org together",
+        "ftp://u:p@h.io wrong scheme",
+        "creds http://a:b@c.de then mail x@y.fr",
+    ]
+    df = spark.createDataFrame([Row(id=i, t=s) for i, s in enumerate(cases)])
+    got = {
+        r.id: (r.red, r.hits)
+        for r in df.select(
+            "id",
+            T2.redact_pii(F.col("t")).alias("red"),
+            T2.pii_hit_count(F.col("t")).alias("hits"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(cases):
+        red = con.execute(
+            "SELECT regexp_replace(regexp_replace(regexp_replace("
+            "regexp_replace(?, ?, ?, 'g'), ?, '[EMAIL]', 'g'),"
+            " ?, '[IP]', 'g'), ?, '[PHONE]', 'g')",
+            [s, T2._PII_URL_CREDS, r"\1[CREDS]@", T2._PII_EMAIL,
+             T2._PII_IPV4, T2._PII_PHONE],
+        ).fetchone()[0]
+        hits = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))"
+            " + len(regexp_extract_all(?, ?))"
+            " + len(regexp_extract_all(?, ?))",
+            [s, T2._PII_EMAIL, s, T2._PII_IPV4, s, T2._PII_PHONE],
+        ).fetchone()[0]
+        assert got[i] == (red, hits), (cases[i], got[i], red, hits)
