@@ -518,37 +518,34 @@ def f7_f10_f11_f12_f16_scalar_chain(spark, sf_dir):
 
 
 @query(
-    "f18_softmax_per_group",
+    "f18_f19_softmax_argmax",
     """SELECT event_id,
-              round(exp(value / 100) / sum(exp(value / 100)) OVER (PARTITION BY event_type), 4) AS prob
+              round(exp(value / 100) / sum(exp(value / 100)) OVER (PARTITION BY event_type), 4) AS prob,
+              arg_max(event_type, value || '-' || CAST(event_id AS VARCHAR))
+                  OVER (PARTITION BY user_id) AS best_type
        FROM events ORDER BY event_id LIMIT 300""",
 )
-def f18_softmax_per_group(spark, sf_dir):
-    """F18: softmax over a candidate group (el_main.py:645-646)."""
+def f18_f19_softmax_argmax(spark, sf_dir):
+    """F18 softmax over a candidate group (el_main.py:645-646) + F19
+    argmax of score (el_main.py:361-362) in one slot (round-4 merge,
+    freeing a registry slot for pii_scrub — the 50-entry gate window is
+    a hard budget). Deterministic argmax tiebreak via the
+    value||'-'||event_id composite; the windowed struct-max is exactly
+    arg_max because event_id makes the composite unique per row."""
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
+    w_soft = Window.partitionBy("event_type")
+    w_best = Window.partitionBy("user_id")
     x = F.exp(F.col("value") / 100)
+    key = F.concat_ws("-", F.col("value").cast("string"), F.col("event_id"))
+    best = F.max(F.struct(key.alias("k"), F.col("event_type"))).over(w_best)
     return (
-        e.select("event_id", F.round(x / F.sum(x).over(w), 4).alias("prob"))
+        e.select(
+            "event_id",
+            F.round(x / F.sum(x).over(w_soft), 4).alias("prob"),
+            best.getField("event_type").alias("best_type"),
+        )
         .orderBy("event_id")
         .limit(300)
-    )
-
-
-@query(
-    "f19_argmax_per_group",
-    """SELECT user_id, arg_max(event_type, value || '-' || CAST(event_id AS VARCHAR)) AS best_type
-       FROM events GROUP BY user_id ORDER BY user_id""",
-)
-def f19_argmax_per_group(spark, sf_dir):
-    """F19: argmax of score (el_main.py:361-362) — deterministic tiebreak
-    via value||'-'||event_id composite."""
-    e = _t(spark, sf_dir, "events")
-    key = F.concat_ws("-", F.col("value").cast("string"), F.col("event_id"))
-    return (
-        e.groupBy("user_id")
-        .agg(F.max_by("event_type", key).alias("best_type"))
-        .orderBy("user_id")
     )
 
 
