@@ -53,6 +53,13 @@ MAX_ALIAS_AMBIGUITY = 8  # aliases shared by more entities don't emit ent: keys
 # measured comfortable ceiling; the reference's 5.9M-entity KB
 # (main_dense.py:119) lands just past it, so it takes the join path.
 ALIAS_BROADCAST_MAX_ROWS = 4_000_000
+# detect_mentions_join's alias-token prefilter: the DISTINCT token set of
+# the alias table is usually broadcastable even when the alias TABLE is
+# not (tokens are shared heavily across multi-token aliases — the
+# reference's 5.9M-alias KB has far fewer distinct tokens). Same ceiling
+# rationale as ALIAS_BROADCAST_MAX_ROWS; a JVM broadcast relation of
+# short strings is more compact than the python trie, so reuse 4M.
+ALIAS_TOKEN_BROADCAST_MAX = 4_000_000
 
 MENTIONS_SCHEMA = StructType(
     [
@@ -215,6 +222,7 @@ def detect_mentions_join(
     alias_col: str = "alias",
     pre_normalized: bool = False,
     cache_registry: list | None = None,
+    anchor_prefilter: bool | str = "auto",
 ) -> DataFrame:
     """Beyond-broadcast mention detection: pure-join path, byte-identical
     output to ``detect_mentions`` (pytest-pinned), with NO driver-side
@@ -261,7 +269,23 @@ def detect_mentions_join(
     ``cache_registry``: when given, every DataFrame this call persists is
     appended to it so a repeated caller (the streaming micro-batch loop)
     can unpersist after its action instead of leaking one storage entry
-    per invocation."""
+    per invocation.
+
+    ``anchor_prefilter``: both corpus-token streams below (the df agg
+    input and the anchor-join probe side) carry EVERY corpus token, yet
+    only tokens appearing in some alias can influence the output —
+    foreign df rows never join an alias token, foreign anchor rows never
+    match an anchor. When the DISTINCT alias-token set fits a broadcast
+    (usual even for a beyond-broadcast alias TABLE — tokens are shared
+    across aliases), a broadcast semi-join drops foreign tokens map-side:
+    the df exchange then carries the alias vocabulary instead of the
+    corpus vocabulary, and the anchor join shuffles only anchor-token
+    positions instead of the whole exploded corpus. "auto" pays one
+    distinct-count aggregate on the alias side (the dimension table —
+    cheap next to any corpus pass; a repeated caller should decide once
+    and pass a bool) and enables the filter under
+    ALIAS_TOKEN_BROADCAST_MAX. Output is identical either way
+    (identity pytest runs both settings)."""
     from pyspark import StorageLevel
 
     from entity_linking_spark.functions.normalize import normalize_udf, tokenize_udf
@@ -322,14 +346,22 @@ def detect_mentions_join(
         # corpus-sized token table to executor storage would cost more
         toks = docs.select(F.col(url_col).alias("url"), F.col(tokens_col).alias("tokens"))
 
+    alias_tok_set = None
+    if anchor_prefilter == "auto":
+        n_alias_toks = (
+            alias_norm.select(F.explode("_atoks").alias("tok")).distinct().count()
+        )
+        anchor_prefilter = n_alias_toks <= ALIAS_TOKEN_BROADCAST_MAX
+    if anchor_prefilter:
+        alias_tok_set = alias_norm.select(F.explode("_atoks").alias("tok")).distinct()
+
     # per-token document frequency (map-side-combined: one partial row
     # per distinct token per task, so the shuffle carries the vocabulary,
-    # not the corpus)
-    tok_df = (
-        toks.select(F.explode("tokens").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("_df"))
-    )
+    # not the corpus — or, with the prefilter, just the alias vocabulary)
+    tok_stream = toks.select(F.explode("tokens").alias("tok"))
+    if alias_tok_set is not None:
+        tok_stream = tok_stream.join(F.broadcast(alias_tok_set), "tok", "left_semi")
+    tok_df = tok_stream.groupBy("tok").agg(F.count("*").alias("_df"))
     # rarest-token anchor per alias: (df ASC, offset ASC, token ASC) min
     # — deterministic; aliases with any corpus-absent token drop (their
     # token rows don't survive the inner join, so the count() != n)
@@ -351,6 +383,11 @@ def detect_mentions_join(
         )
     )
     anchors = toks.select("url", F.posexplode("tokens").alias("pos", "tok"))
+    if alias_tok_set is not None:
+        # same broadcast set (superset of the anchor tokens): foreign
+        # corpus positions drop map-side instead of riding the equi-join
+        # exchange with the full exploded corpus
+        anchors = anchors.join(F.broadcast(alias_tok_set), "tok", "left_semi")
     cand = (
         anchors.join(alias_anchor, anchors.tok == alias_anchor["_atok"])
         .select(

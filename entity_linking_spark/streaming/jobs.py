@@ -195,6 +195,15 @@ def streaming_link_microbatch(
         .where(F.col("alias") != "")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # decide the alias-token broadcast prefilter ONCE for the stream's
+    # lifetime — "auto" inside the batch loop would re-count the alias
+    # token vocabulary every micro-batch
+    prefilter = (
+        alias_norm.select(F.explode(F.split("alias", " ")).alias("t"))
+        .distinct()
+        .count()
+        <= blocking.ALIAS_TOKEN_BROADCAST_MAX
+    )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         batch_caches: list[DataFrame] = []
@@ -203,6 +212,7 @@ def streaming_link_microbatch(
                 mentions = blocking.detect_mentions_join(
                     batch_df, alias_norm, pre_normalized=True,
                     cache_registry=batch_caches,
+                    anchor_prefilter=prefilter,
                 )
             else:
                 mentions = blocking.detect_mentions(batch_df, alias_list)

@@ -150,6 +150,18 @@ def test_detect_mentions_join_identical_to_trie(spark):
     join = sorted(map(tuple, blocking.detect_mentions_join(docs, aliases).collect()))
     assert trie == join
     assert len(trie) > 10  # corpus actually exercises the matcher
+    # the alias-token broadcast prefilter is a pure plan optimization:
+    # both settings must emit the identical row set
+    for pf in (True, False):
+        got = sorted(
+            map(
+                tuple,
+                blocking.detect_mentions_join(
+                    docs, aliases, anchor_prefilter=pf
+                ).collect(),
+            )
+        )
+        assert got == trie, pf
 
 
 def test_detect_mentions_join_precomputed_tokens(spark):
