@@ -195,10 +195,14 @@ def streaming_link_microbatch(
         .where(F.col("alias") != "")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # decide the alias-token broadcast prefilter ONCE for the stream's
-    # lifetime — "auto" inside the batch loop would re-count the alias
-    # token vocabulary every micro-batch
-    prefilter = (
+    # decide the alias-token vocabulary half of the prefilter gate ONCE
+    # for the stream's lifetime — "auto" inside the batch loop would
+    # re-count the alias token vocabulary every micro-batch. The corpus
+    # half is per-batch below: a normal micro-batch is far too small for
+    # the prefilter to net out (its cost is alias-side and fixed), but a
+    # file-source backfill batch can be huge, and its size is free to
+    # read from parquet footers.
+    prefilter_vocab_ok = (
         alias_norm.select(F.explode(F.split("alias", " ")).alias("t"))
         .distinct()
         .count()
@@ -209,10 +213,13 @@ def streaming_link_microbatch(
         batch_caches: list[DataFrame] = []
         try:
             if alias_list is None:  # beyond-broadcast KB: join path per batch
+                batch_est = blocking.footer_row_estimate(batch_df)
                 mentions = blocking.detect_mentions_join(
                     batch_df, alias_norm, pre_normalized=True,
                     cache_registry=batch_caches,
-                    anchor_prefilter=prefilter,
+                    anchor_prefilter=prefilter_vocab_ok
+                    and batch_est is not None
+                    and batch_est >= blocking.PREFILTER_MIN_DOC_ROWS,
                 )
             else:
                 mentions = blocking.detect_mentions(batch_df, alias_list)

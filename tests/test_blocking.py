@@ -192,6 +192,10 @@ def test_alias_row_estimate_parquet_footer(spark, tmp_path):
     assert blocking.alias_row_estimate(spark.read.parquet(p)) == 37
     # in-memory fallback
     assert blocking.alias_row_estimate(_aliases(spark, [("x", "e1")])) == 1
+    # metadata-only variant: exact on parquet, None (NO count job) on
+    # in-memory plans — the prefilter auto-gate's "unknown means small"
+    assert blocking.footer_row_estimate(spark.read.parquet(p)) == 37
+    assert blocking.footer_row_estimate(_aliases(spark, [("x", "e1")])) is None
 
 
 def test_detect_mentions_join_randomized_equivalence(spark):
