@@ -134,12 +134,14 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate row for the multimodal decode plumbing — exercises ALL THREE
+    """Gate row for the multimodal decode plumbing — exercises ALL FOUR
     codec paths through the same mapInPandas stage via codec='auto'
     magic-byte routing: REAL RIFF/PCM WAV decode (stdlib wave), REAL
-    24-bit BMP decode (stdlib struct), the deterministic fake codec, and
-    one deliberately MALFORMED payload proving the per-row decode_error
-    channel (a poison payload yields an error row, not a dead stage)."""
+    24-bit BMP decode (stdlib struct), REAL DEFLATE-compressed PNG
+    decode (stdlib zlib, CRC-checked, all five row filters), the
+    deterministic fake codec, and one deliberately MALFORMED payload
+    proving the per-row decode_error channel (a poison payload yields an
+    error row, not a dead stage)."""
     from pyspark.sql import Row
 
     from entity_linking_spark.operators import multimodal as mm
@@ -161,10 +163,22 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             Row(media_id=f"bmp{i}", kind="image",
                 payload=mm.encode_bmp_media(12 + i, 9 + i, seed=i))
         )
+    for i in range(5):  # REAL png payloads (DEFLATE-compressed, height
+        # >= 6 so every one of the five PNG row filters is exercised)
+        rows.append(
+            Row(media_id=f"png{i}", kind="image",
+                payload=mm.encode_png_media(10 + i, 6 + i, seed=i,
+                                            color_type=(2, 6, 0, 4, 2)[i]))
+        )
     # malformed: a truncated BMP (valid magic, pixel data cut short) —
     # must produce decode_error, not a task failure
     bad = mm.encode_bmp_media(16, 16, seed=99)[:70]
     rows.append(Row(media_id="bad0", kind="image", payload=bad))
+    # malformed: a PNG with one flipped IDAT byte — the CRC check must
+    # catch silent payload corruption as an error row
+    crc_bad = bytearray(mm.encode_png_media(9, 9, seed=99))
+    crc_bad[40] ^= 0xFF
+    rows.append(Row(media_id="badpng0", kind="image", payload=bytes(crc_bad)))
     # the driver canonicalizer sorts column values in pandas — a raw
     # array<float> cell is unhashable there, so serialize features to the
     # repo's joined-string array convention (plans/queries.py docstring)

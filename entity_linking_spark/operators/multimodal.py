@@ -3,11 +3,14 @@
 Image/audio/video payloads ride as `binary` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as
 mapInPandas stages with real schemas, partitioning, and Arrow batch
-shapes. Two decode kernels are REAL stdlib implementations — codec='wav'
-(RIFF/PCM audio via `wave`) and codec='bmp' (24-bit uncompressed images
-via `struct`) — while compressed formats are honestly STUBBED behind
-``_require_codec`` (the container ships no PIL/ffmpeg; the stub raises
-NotImplementedError unless the deterministic fake codec is requested).
+shapes. Three decode kernels are REAL stdlib implementations —
+codec='wav' (RIFF/PCM audio via `wave`), codec='bmp' (24-bit
+uncompressed images via `struct`), and codec='png' (a COMPRESSED format:
+DEFLATE via stdlib `zlib`, full chunk/CRC parsing and all five row
+filters per the public PNG spec, RFC 2083) — while codec-library formats
+(JPEG/H.264/...) are honestly STUBBED behind ``_require_codec`` (the
+container ships no PIL/ffmpeg; the stub raises NotImplementedError
+unless the deterministic fake codec is requested).
 Everything Spark-side is real and tested: schema contracts, batch
 iteration, per-row error channeling, partition preservation.
 
@@ -64,14 +67,15 @@ def encode_fake_media(kind: str, width: int, height: int, seed: int) -> bytes:
 
 
 def _require_codec(kind: str) -> None:
-    """Compressed image/video decode needs a codec library the container
-    lacks (uncompressed formats have real stdlib paths: wav, bmp)."""
+    """JPEG/H.264-class decode needs a codec library the container lacks
+    (real stdlib paths exist: wav PCM audio, bmp uncompressed images,
+    png DEFLATE-compressed images)."""
     raise NotImplementedError(
-        f"real {kind} decoding for compressed formats requires a codec "
+        f"real {kind} decoding for this format requires a codec "
         "library (PIL/ffmpeg) not present in this environment; use "
-        "codec='wav' for real PCM audio, codec='bmp' for real "
-        "uncompressed images, or codec='fake' for the deterministic "
-        "test codec"
+        "codec='wav' for real PCM audio, codec='bmp'/'png' for real "
+        "images (png is genuinely DEFLATE-compressed), or codec='fake' "
+        "for the deterministic test codec"
     )
 
 
@@ -170,18 +174,166 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return gray[np.ix_(ys, xs)].ravel().astype(np.float32)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> samples per pixel (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def encode_png_media(
+    width: int, height: int, seed: int = 0, color_type: int = 2
+) -> bytes:
+    """A real PNG (bit depth 8, DEFLATE-compressed IDAT via stdlib
+    `zlib`) with deterministic seeded pixels — fixture generator for the
+    genuine compressed-image decode path. Rows cycle through ALL FIVE
+    PNG filter types (None/Sub/Up/Average/Paeth, filter = y % 5) so a
+    tall-enough fixture exercises every unfilter branch in the decoder.
+    Spec: RFC 2083 / the public W3C PNG recommendation."""
+    import zlib
+
+    channels = _PNG_CHANNELS[color_type]
+    rng = np.random.RandomState(seed)
+    pixels = rng.randint(0, 256, size=(height, width * channels), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at bit depth 8
+    raw = bytearray()
+    prev = np.zeros(width * channels, dtype=np.int32)
+    for y in range(height):
+        cur = pixels[y].astype(np.int32)
+        ftype = y % 5
+        filt = cur.copy()
+        for x in range(filt.size):
+            a = cur[x - bpp] if x >= bpp else 0  # left (reconstructed)
+            b = prev[x]  # up
+            c = prev[x - bpp] if x >= bpp else 0  # up-left
+            if ftype == 1:
+                filt[x] = (cur[x] - a) & 0xFF
+            elif ftype == 2:
+                filt[x] = (cur[x] - b) & 0xFF
+            elif ftype == 3:
+                filt[x] = (cur[x] - ((a + b) >> 1)) & 0xFF
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (cur[x] - pred) & 0xFF
+        raw.append(ftype)
+        raw += filt.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """REAL compressed-image decode: PNG via stdlib `zlib` — chunk walk
+    with CRC verification, DEFLATE inflate, and full row unfiltering
+    (None/Sub/Up/Average/Paeth). Supports bit depth 8, color types
+    0/2/4/6, no interlace. Grayscales (mean of color channels, alpha
+    ignored), stride-samples to an 8x8 grid scaled to [0, 1] — same
+    feature contract as the BMP path."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != zlib.crc32(ctype + data):
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, interlace={interlace})"
+        )
+    if color_type not in _PNG_CHANNELS or width <= 0 or height <= 0:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    bpp = channels
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        cur = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(height, width, channels).astype(np.float32)
+    gray = (px[:, :, 0] if channels <= 2 else px[:, :, :3].mean(axis=2)) / 255.0
+    ys = np.linspace(0, height - 1, num=min(8, height)).round().astype(int)
+    xs = np.linspace(0, width - 1, num=min(8, width)).round().astype(int)
+    return gray[np.ix_(ys, xs)].ravel().astype(np.float32)
+
+
 def decode_media(payload: bytes, kind: str, codec: str = "fake") -> np.ndarray:
     """payload -> float32 feature array.
 
     codec='wav'  — REAL decode of RIFF/WAVE PCM audio (stdlib).
     codec='bmp'  — REAL decode of 24-bit uncompressed BMP images (stdlib).
+    codec='png'  — REAL decode of DEFLATE-compressed PNG images (stdlib
+                   zlib; CRC-checked chunks, all five row filters).
     codec='fake' — deterministic test codec (full plumbing, fake bytes).
     codec='auto' — route per payload by magic bytes (RIFF -> wav,
-                   BM -> bmp, fake magic -> fake): the container-format
-                   sniff a mixed-media corpus column needs, since one
-                   binary column holds many formats at ingest.
-    anything else is stubbed behind ``_require_codec`` (no compressed
-    image/video codec library ships in this container)."""
+                   BM -> bmp, \\x89PNG -> png, fake magic -> fake): the
+                   container-format sniff a mixed-media corpus column
+                   needs, since one binary column holds many formats at
+                   ingest.
+    anything else is stubbed behind ``_require_codec`` (no JPEG/video
+    codec library ships in this container)."""
     if payload is None:
         raise ValueError("null payload")
     if codec == "auto":
@@ -189,6 +341,8 @@ def decode_media(payload: bytes, kind: str, codec: str = "fake") -> np.ndarray:
             codec = "wav"
         elif payload[:2] == b"BM":
             codec = "bmp"
+        elif payload[:8] == _PNG_MAGIC:
+            codec = "png"
         elif payload.startswith(FAKE_MAGIC):
             codec = "fake"
         else:
@@ -199,6 +353,8 @@ def decode_media(payload: bytes, kind: str, codec: str = "fake") -> np.ndarray:
         return _decode_wav(payload)
     if codec == "bmp":
         return _decode_bmp(payload)
+    if codec == "png":
+        return _decode_png(payload)
     if codec != "fake":
         _require_codec(kind)
     if not payload.startswith(FAKE_MAGIC):

@@ -130,6 +130,45 @@ def test_bmp_rejects_unsupported_variants():
         mm._decode_bmp(bytes(mm.encode_bmp_media(4, 4, seed=0))[:-8])
 
 
+def test_png_codec_real_compressed_decode(spark):
+    """codec='png' is a REAL compressed-format decode path: stdlib zlib
+    inflates the DEFLATE IDAT stream, chunk CRCs are verified, and all
+    five row filters (None/Sub/Up/Average/Paeth — the encoder cycles
+    filter = y % 5) reconstruct the exact pixels."""
+    import numpy as np
+    import pytest as _pt
+
+    for color_type, channels in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        # height 13 > 5 rows -> every filter type exercised at least twice
+        payload = mm.encode_png_media(11, 13, seed=color_type, color_type=color_type)
+        local = mm.decode_media(payload, "image", codec="png")
+        # recompute from the generator's own pixel array: byte-exact
+        rng = np.random.RandomState(color_type)
+        px = rng.randint(0, 256, size=(13, 11 * channels), dtype=np.uint8)
+        px = px.reshape(13, 11, channels).astype(np.float32)
+        gray = (px[:, :, 0] if channels <= 2 else px[:, :, :3].mean(axis=2)) / 255.0
+        ys = np.linspace(0, 12, num=8).round().astype(int)
+        xs = np.linspace(0, 10, num=8).round().astype(int)
+        assert np.array_equal(local, gray[np.ix_(ys, xs)].ravel().astype(np.float32))
+    # a flipped byte anywhere in a chunk must fail the CRC check
+    payload = mm.encode_png_media(9, 9, seed=7)
+    corrupt = bytearray(payload)
+    corrupt[40] ^= 0xFF
+    with _pt.raises(ValueError, match="CRC mismatch"):
+        mm._decode_png(bytes(corrupt))
+    with _pt.raises(ValueError, match="truncated|missing"):
+        mm._decode_png(payload[:30])
+    # through the Spark stage with a poison row channeled per-row
+    rows = [
+        Row(media_id="p1", kind="image", payload=payload),
+        Row(media_id="bad", kind="image", payload=bytes(corrupt)),
+    ]
+    out = {r.media_id: r for r in
+           mm.with_media_features(spark.createDataFrame(rows), codec="png").collect()}
+    assert np.allclose(out["p1"].features, mm.decode_media(payload, "image", "png"))
+    assert out["bad"].features is None and "CRC" in out["bad"].decode_error
+
+
 def test_auto_codec_routes_by_magic_bytes(spark):
     """codec='auto' sniffs container magic per payload: one mixed binary
     column carrying wav + bmp + fake + garbage decodes each row via the
@@ -138,7 +177,10 @@ def test_auto_codec_routes_by_magic_bytes(spark):
 
     wav = mm.encode_wav_media(128, seed=3)
     bmp = mm.encode_bmp_media(10, 8, seed=3)
+    png = mm.encode_png_media(10, 8, seed=3)
     fake = mm.encode_fake_media("image", 16, 16, 3)
+    assert np.allclose(mm.decode_media(png, "image", codec="auto"),
+                       mm.decode_media(png, "image", codec="png"))
     assert np.allclose(mm.decode_media(wav, "audio", codec="auto"),
                        mm.decode_media(wav, "audio", codec="wav"))
     assert np.allclose(mm.decode_media(bmp, "image", codec="auto"),
@@ -166,8 +208,9 @@ def test_auto_codec_routes_by_magic_bytes(spark):
 
 
 def test_gate_row_covers_real_codecs(spark):
-    """The driver-contract rows-only entry must include wav/bmp rows
-    decoded by the REAL stdlib paths and exactly one decode_error row."""
+    """The driver-contract rows-only entry must include wav/bmp/png rows
+    decoded by the REAL stdlib paths and the two decode_error rows
+    (truncated BMP, CRC-corrupted PNG)."""
     import __spark_entry__ as E
 
     rows = E._multimodal_features(spark, None).collect()
@@ -178,6 +221,10 @@ def test_gate_row_covers_real_codecs(spark):
     assert all(r.decode_error is None and r.features for r in by_prefix["wav"])
     assert len(by_prefix["bmp"]) >= 4
     assert all(r.decode_error is None and r.features for r in by_prefix["bmp"])
+    assert len(by_prefix["png"]) >= 4
+    assert all(r.decode_error is None and r.features for r in by_prefix["png"])
     assert all(r.decode_error is None for r in by_prefix["fake"])
     (bad,) = by_prefix["bad"]
     assert bad.features is None and bad.decode_error
+    (badpng,) = by_prefix["badpng"]
+    assert badpng.features is None and "CRC" in badpng.decode_error
