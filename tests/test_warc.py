@@ -1,0 +1,129 @@
+"""WARC source: roundtrip, streaming gzip members, poison files, and
+feeding the extraction stage — the Common-Crawl-style ingest boundary."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from entity_linking_spark.schema import make_html
+from entity_linking_spark.sources import warc
+
+
+def _http_headers(status: int = 200) -> bytes:
+    # header lines only — the writer adds the blank-line separator
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: text/html\r\n"
+        "Server: test".encode()
+    )
+
+
+def _records(n: int, host: str):
+    recs = []
+    for i in range(n):
+        url = f"https://{host}/page/{i:04d}"
+        recs.append(
+            {
+                "url": url,
+                "date": f"2026-01-0{1 + i % 9}T12:00:{i % 60:02d}Z",
+                "http_headers": _http_headers(200 if i % 4 else 404),
+                "body": make_html(f"doc {i} body words on {host}", url),
+            }
+        )
+    return recs
+
+
+def test_warc_gz_roundtrip(spark, tmp_path):
+    recs_a, recs_b = _records(7, "a.example"), _records(5, "b.example")
+    warc.write_warc_file(str(tmp_path / "seg-00000.warc.gz"), recs_a)
+    warc.write_warc_file(str(tmp_path / "seg-00001.warc.gz"), recs_b)
+    out = warc.read_warc(spark, str(tmp_path)).collect()
+    assert len(out) == 12
+    by_url = {r.url: r for r in out}
+    for rec in recs_a + recs_b:
+        row = by_url[rec["url"]]
+        assert bytes(row.html) == rec["body"]  # headers stripped exactly
+        assert row.warc_type == "response"
+        assert row.parse_error is None
+        assert row.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ") == rec["date"]
+    statuses = {r.url: r.http_status for r in out}
+    assert statuses["https://a.example/page/0000"] == 404
+    assert statuses["https://a.example/page/0001"] == 200
+
+
+def test_warc_plain_and_non_http_payloads(spark, tmp_path):
+    recs = _records(3, "c.example")
+    # a resource record with a raw (non-http) payload
+    recs.append(
+        {
+            "url": "https://c.example/raw",
+            "date": "2026-02-01T00:00:00Z",
+            "body": b"\x00\x01raw-bytes",
+            "warc_type": "resource",
+            "content_type": "application/octet-stream",
+        }
+    )
+    # a request record, filtered out by the default warc_types
+    recs.append(
+        {
+            "url": "https://c.example/req",
+            "date": "2026-02-01T00:00:01Z",
+            "http_headers": b"GET / HTTP/1.1\r\nHost: c.example",
+            "body": b"",
+            "warc_type": "request",
+        }
+    )
+    path = str(tmp_path / "plain.warc")
+    warc.write_warc_file(path, recs, gzip_per_record=False)
+    out = warc.read_warc(
+        spark, [path], warc_types=("response", "resource")
+    ).collect()
+    assert {r.url for r in out} == {r["url"] for r in recs[:4]}
+    raw = next(r for r in out if r.url == "https://c.example/raw")
+    assert bytes(raw.html) == b"\x00\x01raw-bytes" and raw.http_status is None
+
+
+def test_warc_poison_file_channels_error(spark, tmp_path):
+    warc.write_warc_file(str(tmp_path / "good.warc.gz"), _records(4, "d.example"))
+    # valid gzip, garbage inside — must not kill the stage
+    (tmp_path / "bad.warc.gz").write_bytes(gzip.compress(b"not a warc at all"))
+    out = warc.read_warc(spark, str(tmp_path)).collect()
+    good = [r for r in out if r.parse_error is None]
+    bad = [r for r in out if r.parse_error is not None]
+    assert len(good) == 4
+    assert len(bad) == 1 and "ValueError" in bad[0].parse_error
+    assert bad[0].source_file.endswith("bad.warc.gz")
+
+
+def test_warc_documents_feeds_extraction(spark, tmp_path):
+    """End to end: WARC -> input-table shape -> byte-identical extract."""
+    from entity_linking_spark.operators.extract import extract_text, with_extracted_text
+
+    recs = _records(8, "e.example")
+    warc.write_warc_file(str(tmp_path / "seg.warc.gz"), recs)
+    docs = warc.warc_documents(warc.read_warc(spark, str(tmp_path)))
+    assert docs.columns == ["url", "warc_ts", "html"]
+    rows = {r.url: r for r in with_extracted_text(docs).collect()}
+    # the 404s (every 4th record) are curated out by warc_documents
+    assert set(rows) == {r["url"] for i, r in enumerate(recs) if i % 4}
+    for rec in recs:
+        if rec["url"] in rows:
+            assert rows[rec["url"]].text_extracted == extract_text(rec["body"])
+
+
+def test_warc_writer_deterministic(tmp_path):
+    a, b = tmp_path / "a.warc.gz", tmp_path / "b.warc.gz"
+    warc.write_warc_file(str(a), _records(3, "f.example"))
+    warc.write_warc_file(str(b), _records(3, "f.example"))
+    assert a.read_bytes() == b.read_bytes()
+    # and each record is its own gzip member: a stream cut at any member
+    # boundary still yields whole records (Common Crawl's seekability)
+    payload = a.read_bytes()
+    second_member = payload.index(b"\x1f\x8b", 2)
+    assert gzip.decompress(payload[second_member:]).startswith(b"WARC/1.0")
+
+
+def test_warc_empty_dir_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="no .warc files"):
+        warc.read_warc(spark, str(tmp_path))
