@@ -220,32 +220,36 @@ def read_warc(
                 yield _read_one_file(fpath, keep)
 
     n_tasks = min(len(file_list), spark.sparkContext.defaultParallelism)
+    # round-robin (no key): hashing the paths would stack several files
+    # on one task and leave others empty — with F files into F buckets,
+    # ~F/e buckets land empty and the max bucket gates the stage
     paths_df = spark.createDataFrame(
         [(p,) for p in file_list], schema="path string"
-    ).repartition(n_tasks, "path")
+    ).repartition(n_tasks)
     return paths_df.mapInPandas(run, schema=WARC_SCHEMA)
 
 
 def _read_one_file(fpath: str, keep: set[str]) -> pd.DataFrame:
     from pyarrow import fs as pafs
 
-    rows: list[dict] = []
+    # columnar accumulation; timestamps parsed ONCE per file vectorized
+    # (per-record pd.to_datetime format-guessing was 10x the parse cost)
+    cols: dict[str, list] = {
+        "url": [], "warc_date": [], "record_id": [], "warc_type": [],
+        "content_type": [], "http_status": [], "html": [], "parse_error": [],
+    }
 
-    def emit(**kw) -> None:
-        rows.append(
-            {
-                "url": None,
-                "warc_ts": None,
-                "record_id": None,
-                "warc_type": None,
-                "content_type": None,
-                "http_status": None,
-                "html": None,
-                "source_file": fpath,
-                "parse_error": None,
-                **kw,
-            }
-        )
+    def emit(url=None, warc_date=None, record_id=None, warc_type=None,
+             content_type=None, http_status=None, html=None,
+             parse_error=None) -> None:
+        cols["url"].append(url)
+        cols["warc_date"].append(warc_date)
+        cols["record_id"].append(record_id)
+        cols["warc_type"].append(warc_type)
+        cols["content_type"].append(content_type)
+        cols["http_status"].append(http_status)
+        cols["html"].append(html)
+        cols["parse_error"].append(parse_error)
 
     try:
         fs, p = (
@@ -273,12 +277,9 @@ def _read_one_file(fpath: str, keep: set[str]) -> pd.DataFrame:
                     if ctype.startswith("application/http")
                     else (None, rec["payload"])
                 )
-                ts = pd.to_datetime(
-                    h.get("warc-date"), utc=True, errors="coerce"
-                )
                 emit(
                     url=h.get("warc-target-uri"),
-                    warc_ts=None if pd.isna(ts) else ts.tz_localize(None),
+                    warc_date=h.get("warc-date"),
                     record_id=h.get("warc-record-id"),
                     warc_type=wtype,
                     content_type=ctype,
@@ -287,9 +288,15 @@ def _read_one_file(fpath: str, keep: set[str]) -> pd.DataFrame:
                 )
     except Exception as e:  # noqa: BLE001 — per-file poison channel
         emit(parse_error=f"{type(e).__name__}: {e}")
-    if not rows:
+    if not cols["url"]:
         return pd.DataFrame(columns=[f.name for f in WARC_SCHEMA.fields])
-    out = pd.DataFrame(rows)
+    ts = pd.to_datetime(
+        pd.Series(cols.pop("warc_date"), dtype="object"),
+        utc=True, errors="coerce", format="ISO8601",
+    ).dt.tz_localize(None)
+    out = pd.DataFrame(cols)
+    out.insert(1, "warc_ts", ts)
+    out.insert(7, "source_file", fpath)
     out["http_status"] = out["http_status"].astype("Int32")
     return out
 
