@@ -175,13 +175,24 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=2000)
     ap.add_argument("--n-entities", type=int, default=300)
     ap.add_argument("--input-docs", help="parquet path; skips fixture synthesis")
-    ap.add_argument("--input-aliases", help="parquet path (with --input-docs)")
+    ap.add_argument(
+        "--input-warc",
+        help="directory of WARC segments (Common-Crawl layout); ingested "
+        "via sources/warc.py instead of --input-docs",
+    )
+    ap.add_argument("--input-aliases", help="parquet path (with --input-docs/-warc)")
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
     spark = get_spark("el-pipeline", cores=args.cores)
-    if args.input_docs:
+    if args.input_warc:
+        from entity_linking_spark.sources import warc
+
+        documents = warc.warc_documents(warc.read_warc(spark, args.input_warc))
+        aliases = spark.read.parquet(args.input_aliases)
+        labeled_pairs = None
+    elif args.input_docs:
         documents = spark.read.parquet(args.input_docs)
         aliases = spark.read.parquet(args.input_aliases)
         labeled_pairs = None

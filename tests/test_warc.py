@@ -112,6 +112,43 @@ def test_warc_documents_feeds_extraction(spark, tmp_path):
             assert rows[rec["url"]].text_extracted == extract_text(rec["body"])
 
 
+def test_pipeline_from_warc_identical_clusters(spark, tmp_path):
+    """Flagship integration: the SAME corpus ingested from WARC segments
+    must produce exactly the clusters the parquet path produces — ties
+    S12 into the end-to-end linkage job (pipeline --input-warc)."""
+    from entity_linking_spark.pipeline import run_pipeline
+    from entity_linking_spark.schema import load_fixtures
+
+    fx = load_fixtures(spark, n_docs=200, n_entities=40)
+    # fixtures synthesize a few extra near-dup docs beyond n_docs
+    docs = fx["documents"].select("url", "warc_ts", "html").collect()
+    n_docs = len(docs)
+    # 4 segment files, Common-Crawl layout
+    for seg in range(4):
+        recs = [
+            {
+                "url": r.url,
+                "date": r.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                "http_headers": b"HTTP/1.1 200 OK\r\nContent-Type: text/html",
+                "body": bytes(r.html),
+            }
+            for i, r in enumerate(docs)
+            if i % 4 == seg
+        ]
+        warc.write_warc_file(str(tmp_path / f"seg-{seg:05d}.warc.gz"), recs)
+    warc_docs = warc.warc_documents(warc.read_warc(spark, str(tmp_path)))
+    base = run_pipeline(
+        spark, fx["documents"], fx["aliases"], str(tmp_path / "wd_parquet")
+    )
+    from_warc = run_pipeline(
+        spark, warc_docs, fx["aliases"], str(tmp_path / "wd_warc")
+    )
+    a = {(r.url, r.cluster_id) for r in base.collect()}
+    b = {(r.url, r.cluster_id) for r in from_warc.collect()}
+    assert a == b
+    assert len(a) == n_docs
+
+
 def test_warc_writer_deterministic(tmp_path):
     a, b = tmp_path / "a.warc.gz", tmp_path / "b.warc.gz"
     warc.write_warc_file(str(a), _records(3, "f.example"))
