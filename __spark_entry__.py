@@ -174,10 +174,11 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must produce decode_error, not a task failure
     bad = mm.encode_bmp_media(16, 16, seed=99)[:70]
     rows.append(Row(media_id="bad0", kind="image", payload=bad))
-    # malformed: a PNG with one flipped IDAT byte — the CRC check must
-    # catch silent payload corruption as an error row
+    # malformed: a PNG with one flipped IDAT DATA byte (offset 45 — past
+    # the sig(8) + IHDR chunk(25) + IDAT length/type(8)) — the CRC check
+    # must catch silent payload corruption as an error row
     crc_bad = bytearray(mm.encode_png_media(9, 9, seed=99))
-    crc_bad[40] ^= 0xFF
+    crc_bad[45] ^= 0xFF
     rows.append(Row(media_id="badpng0", kind="image", payload=bytes(crc_bad)))
     # the driver canonicalizer sorts column values in pandas — a raw
     # array<float> cell is unhashable there, so serialize features to the

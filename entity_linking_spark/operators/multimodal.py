@@ -169,6 +169,13 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     if not top_down:
         rows = rows[::-1]
     gray = rows.astype(np.float32).mean(axis=2) / 255.0  # BGR -> gray
+    return _gray_grid_features(gray)
+
+
+def _gray_grid_features(gray: np.ndarray) -> np.ndarray:
+    """Shared image-feature contract (bmp + png): stride-sample a [0,1]
+    grayscale array to an 8x8 grid (or fewer for tiny images)."""
+    height, width = gray.shape
     ys = np.linspace(0, height - 1, num=min(8, height)).round().astype(int)
     xs = np.linspace(0, width - 1, num=min(8, width)).round().astype(int)
     return gray[np.ix_(ys, xs)].ravel().astype(np.float32)
@@ -290,12 +297,17 @@ def _decode_png(payload: bytes) -> np.ndarray:
         ftype = raw[pos]
         cur = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
         pos += 1 + stride
-        if ftype == 1:  # Sub
-            for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        if ftype == 1:  # Sub — vectorized: per channel lane the recurrence
+            # out[x] = raw[x] + out[x-bpp] is a prefix sum mod 256
+            lanes = cur.reshape(-1, bpp)
+            cur = (np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF).reshape(-1)
         elif ftype == 2:  # Up
             cur = (cur + prev) & 0xFF
-        elif ftype == 3:  # Average
+        elif ftype == 3:  # Average — sequential along x by definition
+            # (each byte needs the RECONSTRUCTED left neighbor); Paeth
+            # likewise. Python-loop cost is bounded by the stride; huge
+            # images belong to a codec library, which this container
+            # lacks — the stub in _require_codec covers that tier.
             for x in range(stride):
                 a = cur[x - bpp] if x >= bpp else 0
                 cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
@@ -314,9 +326,7 @@ def _decode_png(payload: bytes) -> np.ndarray:
         prev = cur
     px = out.reshape(height, width, channels).astype(np.float32)
     gray = (px[:, :, 0] if channels <= 2 else px[:, :, :3].mean(axis=2)) / 255.0
-    ys = np.linspace(0, height - 1, num=min(8, height)).round().astype(int)
-    xs = np.linspace(0, width - 1, num=min(8, width)).round().astype(int)
-    return gray[np.ix_(ys, xs)].ravel().astype(np.float32)
+    return _gray_grid_features(gray)
 
 
 def decode_media(payload: bytes, kind: str, codec: str = "fake") -> np.ndarray:

@@ -174,8 +174,9 @@ def main() -> None:
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--n-docs", type=int, default=2000)
     ap.add_argument("--n-entities", type=int, default=300)
-    ap.add_argument("--input-docs", help="parquet path; skips fixture synthesis")
-    ap.add_argument(
+    src = ap.add_mutually_exclusive_group()
+    src.add_argument("--input-docs", help="parquet path; skips fixture synthesis")
+    src.add_argument(
         "--input-warc",
         help="directory of WARC segments (Common-Crawl layout); ingested "
         "via sources/warc.py instead of --input-docs",
@@ -184,6 +185,8 @@ def main() -> None:
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
+    if (args.input_docs or args.input_warc) and not args.input_aliases:
+        ap.error("--input-docs/--input-warc require --input-aliases")
 
     spark = get_spark("el-pipeline", cores=args.cores)
     if args.input_warc:

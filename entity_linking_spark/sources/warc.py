@@ -9,9 +9,11 @@ line-splittable, so the unit of parallelism is the FILE (Common Crawl
 ships ~1 GB segments, thousands per crawl — file-level parallelism
 saturates any cluster). File paths are distributed as a tiny DataFrame
 and each task STREAMS its file through pyarrow.fs + stdlib gzip
-(concatenated-member transparent), so a 1 GB archive never materializes
-as a single row — unlike the binaryFile DataSource, this holds memory to
-one record at a time and works past the 2 GB row limit.
+(concatenated-member transparent), yielding bounded Arrow batches
+(_BATCH_ROWS records / _BATCH_BYTES payload per flush) — unlike the
+binaryFile DataSource, a 1 GB archive never materializes as a single
+row or a single batch, and no binary column approaches Arrow's 2 GiB
+int32-offset capacity.
 
 Per-record failures land in a ``parse_error`` column (same poison-row
 philosophy as operators/multimodal.py): one corrupt record in a
@@ -56,6 +58,23 @@ WARC_SCHEMA = StructType(
 )
 
 _CRLF2 = b"\r\n\r\n"
+
+# flush thresholds for the streaming parse: a yielded Arrow batch stays
+# well under the 2 GiB binary-column offset limit and executor memory
+# holds one batch, not one decompressed segment
+_BATCH_ROWS = 4096
+_BATCH_BYTES = 64 << 20
+
+
+def _resolve_fs(path: str):
+    """path -> (pyarrow FileSystem, fs-local path). Scheme-qualified
+    paths (s3://, hdfs://, ...) resolve via from_uri; bare paths are
+    local."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
 
 
 def _record_id(url: str, ts: str) -> str:
@@ -109,11 +128,7 @@ def write_warc_file(
             out.write(member.getvalue())
         else:
             out.write(record_bytes)
-    from pyarrow import fs as pafs
-
-    fs, fpath = pafs.FileSystem.from_uri(path) if "://" in path else (
-        pafs.LocalFileSystem(), path
-    )
+    fs, fpath = _resolve_fs(path)
     # compression=None: pyarrow would otherwise gzip AGAIN based on the
     # .gz extension — the per-record member framing above is the format
     with fs.open_output_stream(fpath, compression=None) as f:
@@ -152,6 +167,9 @@ def _iter_warc_records(stream: io.BufferedIOBase) -> Iterator[dict]:
                 "utf-8", "replace"
             )
         length = int(headers["content-length"])
+        if length < 0:
+            # a negative length would mis-frame the stream via buf[:length]
+            raise ValueError(f"negative WARC Content-Length {length}")
         while len(buf) < length + 4:  # payload + trailing CRLFCRLF
             chunk = stream.read(max(65536, length + 4 - len(buf)))
             if not chunk:
@@ -192,11 +210,7 @@ def read_warc(
     from pyarrow import fs as pafs
 
     if isinstance(paths, str):
-        fs, root = (
-            pafs.FileSystem.from_uri(paths)
-            if "://" in paths
-            else (pafs.LocalFileSystem(), paths)
-        )
+        fs, root = _resolve_fs(paths)
         info = fs.get_file_info(root)
         if info.type == pafs.FileType.Directory:
             sel = pafs.FileSelector(root, recursive=True)
@@ -217,7 +231,7 @@ def read_warc(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for fpath in pdf["path"]:
-                yield _read_one_file(fpath, keep)
+                yield from _read_one_file(fpath, keep)
 
     n_tasks = min(len(file_list), spark.sparkContext.defaultParallelism)
     # round-robin (no key): hashing the paths would stack several files
@@ -229,15 +243,35 @@ def read_warc(
     return paths_df.mapInPandas(run, schema=WARC_SCHEMA)
 
 
-def _read_one_file(fpath: str, keep: set[str]) -> pd.DataFrame:
-    from pyarrow import fs as pafs
-
-    # columnar accumulation; timestamps parsed ONCE per file vectorized
-    # (per-record pd.to_datetime format-guessing was 10x the parse cost)
-    cols: dict[str, list] = {
+def _empty_cols() -> dict[str, list]:
+    return {
         "url": [], "warc_date": [], "record_id": [], "warc_type": [],
         "content_type": [], "http_status": [], "html": [], "parse_error": [],
     }
+
+
+def _flush_cols(cols: dict[str, list], fpath: str) -> pd.DataFrame:
+    # timestamps parsed ONCE per batch vectorized (per-record
+    # pd.to_datetime format-guessing was 10x the whole parse cost)
+    ts = pd.to_datetime(
+        pd.Series(cols.pop("warc_date"), dtype="object"),
+        utc=True, errors="coerce", format="ISO8601",
+    ).dt.tz_localize(None)
+    out = pd.DataFrame(cols)
+    out.insert(1, "warc_ts", ts)
+    out.insert(7, "source_file", fpath)
+    out["http_status"] = out["http_status"].astype("Int32")
+    return out
+
+
+def _read_one_file(fpath: str, keep: set[str]) -> Iterator[pd.DataFrame]:
+    """Stream one WARC file as a SEQUENCE of bounded DataFrames: batches
+    flush at _BATCH_ROWS records or _BATCH_BYTES of payload, so a ~1 GB
+    Common-Crawl segment (several GB decompressed) never materializes in
+    executor memory, and no single Arrow binary column approaches the
+    2 GiB int32-offset capacity."""
+    cols = _empty_cols()
+    pending = 0  # payload bytes accumulated since the last flush
 
     def emit(url=None, warc_date=None, record_id=None, warc_type=None,
              content_type=None, http_status=None, html=None,
@@ -252,11 +286,7 @@ def _read_one_file(fpath: str, keep: set[str]) -> pd.DataFrame:
         cols["parse_error"].append(parse_error)
 
     try:
-        fs, p = (
-            pafs.FileSystem.from_uri(fpath)
-            if "://" in fpath
-            else (pafs.LocalFileSystem(), fpath)
-        )
+        fs, p = _resolve_fs(fpath)
         # compression=None: keep pyarrow's extension-triggered gzip layer
         # out of the way — member decompression is explicit below
         with fs.open_input_stream(p, compression=None) as raw:
@@ -286,19 +316,14 @@ def _read_one_file(fpath: str, keep: set[str]) -> pd.DataFrame:
                     http_status=status,
                     html=body,
                 )
+                pending += len(body) if body is not None else 0
+                if len(cols["url"]) >= _BATCH_ROWS or pending >= _BATCH_BYTES:
+                    yield _flush_cols(cols, fpath)
+                    cols, pending = _empty_cols(), 0
     except Exception as e:  # noqa: BLE001 — per-file poison channel
         emit(parse_error=f"{type(e).__name__}: {e}")
-    if not cols["url"]:
-        return pd.DataFrame(columns=[f.name for f in WARC_SCHEMA.fields])
-    ts = pd.to_datetime(
-        pd.Series(cols.pop("warc_date"), dtype="object"),
-        utc=True, errors="coerce", format="ISO8601",
-    ).dt.tz_localize(None)
-    out = pd.DataFrame(cols)
-    out.insert(1, "warc_ts", ts)
-    out.insert(7, "source_file", fpath)
-    out["http_status"] = out["http_status"].astype("Int32")
-    return out
+    if cols["url"]:
+        yield _flush_cols(cols, fpath)
 
 
 def warc_documents(df: DataFrame) -> DataFrame:

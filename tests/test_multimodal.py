@@ -150,10 +150,11 @@ def test_png_codec_real_compressed_decode(spark):
         ys = np.linspace(0, 12, num=8).round().astype(int)
         xs = np.linspace(0, 10, num=8).round().astype(int)
         assert np.array_equal(local, gray[np.ix_(ys, xs)].ravel().astype(np.float32))
-    # a flipped byte anywhere in a chunk must fail the CRC check
+    # a flipped IDAT DATA byte (offset 45: past sig 8 + IHDR chunk 25 +
+    # IDAT length/type 8) must fail the CRC check
     payload = mm.encode_png_media(9, 9, seed=7)
     corrupt = bytearray(payload)
-    corrupt[40] ^= 0xFF
+    corrupt[45] ^= 0xFF
     with _pt.raises(ValueError, match="CRC mismatch"):
         mm._decode_png(bytes(corrupt))
     with _pt.raises(ValueError, match="truncated|missing"):

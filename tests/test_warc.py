@@ -155,10 +155,38 @@ def test_warc_writer_deterministic(tmp_path):
     warc.write_warc_file(str(b), _records(3, "f.example"))
     assert a.read_bytes() == b.read_bytes()
     # and each record is its own gzip member: a stream cut at any member
-    # boundary still yields whole records (Common Crawl's seekability)
+    # boundary still yields whole records (Common Crawl's seekability).
+    # Find the boundary by decompressing member 1 and using the consumed
+    # length — searching for \x1f\x8b could match inside DEFLATE data.
+    import zlib
+
     payload = a.read_bytes()
-    second_member = payload.index(b"\x1f\x8b", 2)
+    d = zlib.decompressobj(wbits=31)
+    d.decompress(payload)
+    second_member = len(payload) - len(d.unused_data)
+    assert 0 < second_member < len(payload)
     assert gzip.decompress(payload[second_member:]).startswith(b"WARC/1.0")
+
+
+def test_warc_streaming_batches(tmp_path, monkeypatch):
+    """The per-file parse yields BOUNDED batches (a big segment never
+    materializes whole): with tiny thresholds a 25-record file arrives
+    as multiple DataFrames whose concatenation is the full file."""
+    import pandas as pd
+
+    path = str(tmp_path / "seg.warc.gz")
+    recs = _records(25, "g.example")
+    warc.write_warc_file(path, recs)
+    monkeypatch.setattr(warc, "_BATCH_ROWS", 10)
+    batches = list(warc._read_one_file(path, {"response"}))
+    assert len(batches) == 3
+    assert [len(b) for b in batches] == [10, 10, 5]
+    merged = pd.concat(batches, ignore_index=True)
+    assert list(merged["url"]) == [r["url"] for r in recs]
+    # byte-threshold flush too
+    monkeypatch.setattr(warc, "_BATCH_ROWS", 10**9)
+    monkeypatch.setattr(warc, "_BATCH_BYTES", 1)
+    assert len(list(warc._read_one_file(path, {"response"}))) == 25
 
 
 def test_warc_empty_dir_raises(spark, tmp_path):
