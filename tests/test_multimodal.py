@@ -208,6 +208,34 @@ def test_auto_codec_routes_by_magic_bytes(spark):
     assert out["e"].features is None and "unrecognized" in out["e"].decode_error
 
 
+def test_png_roundtrip_property(spark):
+    """Hypothesis: any (width, height, color_type, seed) roundtrips
+    byte-exactly through encode -> decode, covering every filter-type
+    mix (height > 5 exercises all five) and the tiny-image path."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        width=st.integers(1, 24),
+        height=st.integers(1, 24),
+        color_type=st.sampled_from([0, 2, 4, 6]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(width, height, color_type, seed):
+        payload = mm.encode_png_media(width, height, seed=seed, color_type=color_type)
+        local = mm.decode_media(payload, "image", codec="png")
+        ch = mm._PNG_CHANNELS[color_type]
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, size=(height, width * ch), dtype=np.uint8)
+        px = px.reshape(height, width, ch).astype(np.float32)
+        gray = (px[:, :, 0] if ch <= 2 else px[:, :, :3].mean(axis=2)) / 255.0
+        assert np.array_equal(local, mm._gray_grid_features(gray))
+
+    check()
+
+
 def test_gate_row_covers_real_codecs(spark):
     """The driver-contract rows-only entry must include wav/bmp/png rows
     decoded by the REAL stdlib paths and the two decode_error rows

@@ -192,3 +192,43 @@ def test_warc_streaming_batches(tmp_path, monkeypatch):
 def test_warc_empty_dir_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="no .warc files"):
         warc.read_warc(spark, str(tmp_path))
+
+
+# --- hypothesis property tests (driver-side parser, no Spark) -----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    bodies=st.lists(st.binary(min_size=0, max_size=400), min_size=1, max_size=8),
+    gz=st.booleans(),
+)
+def test_warc_roundtrip_arbitrary_bodies(tmp_path_factory, bodies, gz):
+    """Framing is Content-Length-driven, so ANY body bytes roundtrip —
+    including bodies that contain the \\r\\n\\r\\n record separator or
+    start with WARC/gzip magic."""
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("warc_prop")
+    path = str(d / ("p.warc.gz" if gz else "p.warc"))
+    # adversarial prefix: separator + fake header inside a BODY
+    bodies = [b"\r\n\r\nWARC/1.0\r\n" + b for b in bodies]
+    recs = [
+        {
+            "url": f"https://p.example/{i}",
+            "date": "2026-04-01T00:00:00Z",
+            "body": body,
+            "warc_type": "resource",
+            "content_type": "application/octet-stream",
+        }
+        for i, body in enumerate(bodies)
+    ]
+    warc.write_warc_file(path, recs, gzip_per_record=gz)
+    out = pd.concat(
+        warc._read_one_file(path, {"resource"}), ignore_index=True
+    )
+    assert list(out["url"]) == [r["url"] for r in recs]
+    assert [bytes(b) for b in out["html"]] == bodies
+    assert out["parse_error"].isna().all()
