@@ -192,7 +192,15 @@ def main() -> None:
     if args.input_warc:
         from entity_linking_spark.sources import warc
 
-        documents = warc.warc_documents(warc.read_warc(spark, args.input_warc))
+        # ingest is checkpointed as its own stage: a resumed run reads
+        # the columnar snapshot instead of re-parsing every WARC segment
+        documents = io.run_stage(
+            spark,
+            args.workdir,
+            "s0_ingest",
+            lambda: warc.warc_documents(warc.read_warc(spark, args.input_warc)),
+            args.force,
+        )
         aliases = spark.read.parquet(args.input_aliases)
         labeled_pairs = None
     elif args.input_docs:

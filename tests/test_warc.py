@@ -149,6 +149,29 @@ def test_pipeline_from_warc_identical_clusters(spark, tmp_path):
     assert len(a) == n_docs
 
 
+def test_warc_ingest_checkpoint_resume(spark, tmp_path):
+    """The s0_ingest composition the pipeline CLI uses: once the stage
+    snapshot exists, a rerun reads it WITHOUT touching the WARC files —
+    proven by deleting the source directory before the second run."""
+    import shutil
+
+    from entity_linking_spark.sources import io as sio
+
+    warcdir = tmp_path / "warc"
+    warcdir.mkdir()
+    warc.write_warc_file(str(warcdir / "seg-00000.warc.gz"), _records(10, "h.example"))
+    wd = str(tmp_path / "wd")
+
+    def build():
+        return warc.warc_documents(warc.read_warc(spark, str(warcdir)))
+
+    first = sio.run_stage(spark, wd, "s0_ingest", build).collect()
+    shutil.rmtree(warcdir)  # re-parse is now impossible
+    resumed = sio.run_stage(spark, wd, "s0_ingest", build).collect()
+    assert {r.url for r in first} == {r.url for r in resumed}
+    assert len(resumed) == 7  # the three 404s are curated out
+
+
 def test_warc_writer_deterministic(tmp_path):
     a, b = tmp_path / "a.warc.gz", tmp_path / "b.warc.gz"
     warc.write_warc_file(str(a), _records(3, "f.example"))
