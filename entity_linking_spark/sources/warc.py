@@ -86,6 +86,40 @@ def _record_id(url: str, ts: str) -> str:
     )
 
 
+def _record_bytes(rec: dict, gzip_per_record: bool) -> bytes:
+    """One WARC 1.0 record (optionally as its own gzip member).
+
+    Record dict: url, date (ISO 'YYYY-MM-DDTHH:MM:SSZ'), body (bytes),
+    optional http_headers (bytes, prepended as an application/http
+    payload), optional warc_type (default 'response')."""
+    warc_type = rec.get("warc_type", "response")
+    body = rec["body"]
+    if rec.get("http_headers") is not None:
+        payload = rec["http_headers"] + _CRLF2 + body
+        ctype = f"application/http; msgtype={warc_type}"
+    else:
+        payload = body
+        ctype = rec.get("content_type", "application/octet-stream")
+    header = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Record-ID: {_record_id(rec['url'], rec['date'])}\r\n"
+        f"WARC-Date: {rec['date']}\r\n"
+        f"WARC-Target-URI: {rec['url']}\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    ).encode()
+    record_bytes = header + payload + _CRLF2
+    if not gzip_per_record:
+        return record_bytes
+    member = io.BytesIO()
+    # mtime pinned for byte-deterministic fixtures
+    with gzip.GzipFile(fileobj=member, mode="wb", mtime=0) as gz:
+        gz.write(record_bytes)
+    return member.getvalue()
+
+
 def write_warc_file(
     path: str,
     records: list[dict],
@@ -93,46 +127,14 @@ def write_warc_file(
 ) -> None:
     """Fixture/egress writer: WARC 1.0 records, one gzip member each
     (the Common Crawl packaging that makes records seekable), or a plain
-    uncompressed .warc when ``gzip_per_record`` is False.
-
-    Each record dict: url, date (ISO 'YYYY-MM-DDTHH:MM:SSZ'), body
-    (bytes), optional http_headers (bytes, prepended as an
-    application/http payload), optional warc_type (default 'response').
-    """
-    out = io.BytesIO()
-    for rec in records:
-        warc_type = rec.get("warc_type", "response")
-        body = rec["body"]
-        if rec.get("http_headers") is not None:
-            payload = rec["http_headers"] + _CRLF2 + body
-            ctype = f"application/http; msgtype={warc_type}"
-        else:
-            payload = body
-            ctype = rec.get("content_type", "application/octet-stream")
-        header = (
-            "WARC/1.0\r\n"
-            f"WARC-Type: {warc_type}\r\n"
-            f"WARC-Record-ID: {_record_id(rec['url'], rec['date'])}\r\n"
-            f"WARC-Date: {rec['date']}\r\n"
-            f"WARC-Target-URI: {rec['url']}\r\n"
-            f"Content-Type: {ctype}\r\n"
-            f"Content-Length: {len(payload)}\r\n"
-            "\r\n"
-        ).encode()
-        record_bytes = header + payload + _CRLF2
-        if gzip_per_record:
-            member = io.BytesIO()
-            # mtime pinned for byte-deterministic fixtures
-            with gzip.GzipFile(fileobj=member, mode="wb", mtime=0) as gz:
-                gz.write(record_bytes)
-            out.write(member.getvalue())
-        else:
-            out.write(record_bytes)
+    uncompressed .warc when ``gzip_per_record`` is False. Record dict
+    contract: see _record_bytes."""
     fs, fpath = _resolve_fs(path)
     # compression=None: pyarrow would otherwise gzip AGAIN based on the
-    # .gz extension — the per-record member framing above is the format
+    # .gz extension — the per-record member framing is the format
     with fs.open_output_stream(fpath, compression=None) as f:
-        f.write(out.getvalue())
+        for rec in records:
+            f.write(_record_bytes(rec, gzip_per_record))
 
 
 def _iter_warc_records(stream: io.BufferedIOBase) -> Iterator[dict]:
@@ -338,3 +340,59 @@ def warc_documents(df: DataFrame) -> DataFrame:
         .where(F.col("http_status").isNull() | F.col("http_status").between(200, 299))
         .select("url", "warc_ts", "html")
     )
+
+
+def write_warc(
+    df: DataFrame,
+    path: str,
+    n_segments: int | None = None,
+) -> DataFrame:
+    """Distributed WARC egress: the sink half of the source/sink pair.
+
+    ``df`` is the input-table shape (url, warc_ts, html); each task
+    STREAMS its partition into one ``part-{pid:05d}.warc.gz`` segment
+    under ``path`` (per-record gzip members, Common Crawl's layout) —
+    records are written batch by batch, never accumulated, so segment
+    size is bounded only by the partitioning the caller chose. Returns
+    a small DataFrame (segment, n_records) — one row per written file —
+    as the action's result; the write happens when it is consumed.
+    """
+    fs, root = _resolve_fs(path)
+    fs.create_dir(root, recursive=True)
+    if n_segments is not None:
+        df = df.repartition(n_segments)
+
+    out_schema = StructType(
+        [
+            StructField("segment", StringType(), False),
+            StructField("n_records", IntegerType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seg = f"{path.rstrip('/')}/part-{pid:05d}.warc.gz"
+        n, stream = 0, None
+        try:
+            for pdf in batches:
+                if len(pdf) and stream is None:  # no empty segment files
+                    wfs, wpath = _resolve_fs(seg)
+                    stream = wfs.open_output_stream(wpath, compression=None)
+                for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                    rec = {
+                        "url": url,
+                        "date": pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ"),
+                        "http_headers": b"HTTP/1.1 200 OK\r\nContent-Type: text/html",
+                        "body": bytes(html),
+                    }
+                    stream.write(_record_bytes(rec, gzip_per_record=True))
+                    n += 1
+        finally:
+            if stream is not None:
+                stream.close()
+        if n:
+            yield pd.DataFrame({"segment": [seg], "n_records": [n]})
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -217,6 +217,23 @@ def test_warc_empty_dir_raises(spark, tmp_path):
         warc.read_warc(spark, str(tmp_path))
 
 
+def test_warc_distributed_sink_roundtrip(spark, tmp_path):
+    """write_warc (distributed egress) -> read_warc roundtrips the
+    input-table frame exactly: urls, timestamps, and html bytes."""
+    from entity_linking_spark.schema import load_fixtures
+
+    fx = load_fixtures(spark, n_docs=120, n_entities=25)
+    docs = fx["documents"].select("url", "warc_ts", "html")
+    outdir = str(tmp_path / "egress")
+    manifest = warc.write_warc(docs, outdir, n_segments=4).collect()
+    assert len(manifest) == 4
+    assert sum(r.n_records for r in manifest) == docs.count()
+    back = warc.warc_documents(warc.read_warc(spark, outdir))
+    orig = {(r.url, r.warc_ts, bytes(r.html)) for r in docs.collect()}
+    rt = {(r.url, r.warc_ts, bytes(r.html)) for r in back.collect()}
+    assert rt == orig
+
+
 # --- hypothesis property tests (driver-side parser, no Spark) -----------
 
 from hypothesis import given, settings
