@@ -53,6 +53,12 @@ MAX_ALIAS_AMBIGUITY = 8  # aliases shared by more entities don't emit ent: keys
 # measured comfortable ceiling; the reference's 5.9M-entity KB
 # (main_dense.py:119) lands just past it, so it takes the join path.
 ALIAS_BROADCAST_MAX_ROWS = 4_000_000
+# candidate_entities hints the filtered alias table onto the broadcast
+# build side only below this row estimate: ~1M alias rows is a few tens
+# of MB hashed — comfortably an executor broadcast — while the 10M-doc
+# scale point (3.4M rows) exceeds it and rides AQE's stats instead
+# (the unconditional hint blew driver maxResultSize there).
+CANDIDATE_BROADCAST_MAX_ROWS = 1_000_000
 # detect_mentions_join's alias-token prefilter: the DISTINCT token set of
 # the alias table is usually broadcastable even when the alias TABLE is
 # not (tokens are shared heavily across multi-token aliases — the
@@ -518,15 +524,24 @@ def candidate_entities(
     ambiguity = alias_norm.groupBy("alias").agg(
         F.countDistinct("subject_id").alias("n_ids")
     )
-    # NO forced broadcast hint (round 4): a hint overrides size stats, and
-    # at the 10M-doc scale point (1M entities, 3.4M alias rows) the forced
-    # broadcast build blew spark.driver.maxResultSize — the same
-    # broadcast-scale assumption class as the retired trie collect. AQE
-    # picks broadcast at runtime whenever the filtered alias side is
-    # actually small, and falls back to a shuffle join when the KB is
-    # beyond broadcast — which is the only plan that works there anyway.
-    alias_b = alias_norm.join(
+    # SIZE-GATED broadcast hint (round 4, twice-revised): an unconditional
+    # hint blew spark.driver.maxResultSize at the 10M-doc scale point (1M
+    # entities, 3.4M alias rows), but dropping the hint entirely regressed
+    # the 1M-doc local-cluster W4 runs ~10% — the static planner cannot
+    # size the filtered-alias join output (agg estimates) nor the
+    # Python-stage mentions side, so the build-side choice is a coin flip
+    # AQE only corrects after shuffle-writing the mentions table. The gate
+    # uses the same footer row estimate the trie-vs-join selector trusts
+    # (no scan job on parquet-backed KBs): provably-small alias tables are
+    # hinted onto the build side; beyond the gate AQE decides, which is
+    # the only plan that works there anyway.
+    joined = alias_norm.join(
         ambiguity.where(F.col("n_ids") <= max_ambiguity), "alias"
+    )
+    alias_b = (
+        F.broadcast(joined)
+        if alias_row_estimate(aliases) <= CANDIDATE_BROADCAST_MAX_ROWS
+        else joined
     )
     return (
         mentions.join(alias_b, mentions.mention == alias_b["alias"])
