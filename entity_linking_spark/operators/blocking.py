@@ -482,6 +482,7 @@ def candidate_entities(
     aliases: DataFrame,
     max_ambiguity: int = 16,
     pre_normalized: bool = False,
+    broadcast_hint: bool | None = None,
 ) -> DataFrame:
     """J1: equi hash join mention -> candidate subject_ids, with per-alias
     ambiguity (how many entities share the alias — the disambiguation
@@ -535,14 +536,17 @@ def candidate_entities(
     # (no scan job on parquet-backed KBs): provably-small alias tables are
     # hinted onto the build side; beyond the gate AQE decides, which is
     # the only plan that works there anyway.
+    # ``broadcast_hint``: callers that invoke this repeatedly against ONE
+    # alias table (the streaming micro-batch loop) resolve the gate ONCE
+    # outside their loop and pass a bool — with None, every call pays the
+    # footer reads (or a count() job for non-parquet alias plans), which
+    # would sit on every micro-batch's latency.
+    if broadcast_hint is None:
+        broadcast_hint = alias_row_estimate(aliases) <= CANDIDATE_BROADCAST_MAX_ROWS
     joined = alias_norm.join(
         ambiguity.where(F.col("n_ids") <= max_ambiguity), "alias"
     )
-    alias_b = (
-        F.broadcast(joined)
-        if alias_row_estimate(aliases) <= CANDIDATE_BROADCAST_MAX_ROWS
-        else joined
-    )
+    alias_b = F.broadcast(joined) if broadcast_hint else joined
     return (
         mentions.join(alias_b, mentions.mention == alias_b["alias"])
         .select("url", "mention", "subject_id", "n_ids")

@@ -128,13 +128,15 @@ def write_warc_file(
     """Fixture/egress writer: WARC 1.0 records, one gzip member each
     (the Common Crawl packaging that makes records seekable), or a plain
     uncompressed .warc when ``gzip_per_record`` is False. Record dict
-    contract: see _record_bytes."""
+    contract: see _record_bytes. Serializes EVERY record in memory
+    before opening the destination — a malformed record dict raises
+    with nothing written, never a truncated file."""
+    body = b"".join(_record_bytes(rec, gzip_per_record) for rec in records)
     fs, fpath = _resolve_fs(path)
     # compression=None: pyarrow would otherwise gzip AGAIN based on the
     # .gz extension — the per-record member framing is the format
     with fs.open_output_stream(fpath, compression=None) as f:
-        for rec in records:
-            f.write(_record_bytes(rec, gzip_per_record))
+        f.write(body)
 
 
 def _iter_warc_records(stream: io.BufferedIOBase) -> Iterator[dict]:
@@ -353,9 +355,16 @@ def write_warc(
     STREAMS its partition into one ``part-{pid:05d}.warc.gz`` segment
     under ``path`` (per-record gzip members, Common Crawl's layout) —
     records are written batch by batch, never accumulated, so segment
-    size is bounded only by the partitioning the caller chose. Returns
-    a small DataFrame (segment, n_records) — one row per written file —
-    as the action's result; the write happens when it is consumed.
+    size is bounded only by the partitioning the caller chose. Each
+    attempt writes a private ``.inprogress-<attempt>`` file and renames
+    it into place only on success, so a killed or speculative attempt
+    never leaves a truncated segment at the final path (rename is atomic
+    on local/HDFS filesystems; object stores emulate it with a copy —
+    still attempt-private either way). Rows with a null url/warc_ts/html
+    are SKIPPED and counted, not fatal — the read side's poison-row
+    philosophy, mirrored. Returns a DataFrame (segment, n_records,
+    n_skipped), one row per written file, as the action's result; the
+    write happens when it is consumed.
     """
     fs, root = _resolve_fs(path)
     fs.create_dir(root, recursive=True)
@@ -366,33 +375,58 @@ def write_warc(
         [
             StructField("segment", StringType(), False),
             StructField("n_records", IntegerType(), False),
+            StructField("n_skipped", IntegerType(), False),
         ]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        seg = f"{path.rstrip('/')}/part-{pid:05d}.warc.gz"
-        n, stream = 0, None
+        ctx = TaskContext.get()
+        seg = f"{path.rstrip('/')}/part-{ctx.partitionId():05d}.warc.gz"
+        tmp = f"{seg}.inprogress-{ctx.taskAttemptId()}"
+        n, skipped, stream = 0, 0, None
+        wfs, wtmp = _resolve_fs(tmp)
         try:
             for pdf in batches:
-                if len(pdf) and stream is None:  # no empty segment files
-                    wfs, wpath = _resolve_fs(seg)
-                    stream = wfs.open_output_stream(wpath, compression=None)
-                for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                ok = pdf["url"].notna() & pdf["warc_ts"].notna() & pdf["html"].notna()
+                skipped += int((~ok).sum())
+                pdf = pdf[ok]
+                if not len(pdf):
+                    continue
+                # one vectorized strftime per batch (per-record
+                # pd.Timestamp().strftime was the read side's 10x lesson);
+                # fractional seconds kept when present so the roundtrip
+                # is exact at timestamp precision, not just whole seconds
+                dates = pdf["warc_ts"].dt.strftime("%Y-%m-%dT%H:%M:%S")
+                frac = pdf["warc_ts"].dt.microsecond
+                dates = dates.where(
+                    frac == 0,
+                    dates + "." + frac.map("{:06d}".format).str.rstrip("0"),
+                ) + "Z"
+                if stream is None:  # no empty segment files
+                    stream = wfs.open_output_stream(wtmp, compression=None)
+                for url, date, html in zip(pdf["url"], dates, pdf["html"]):
                     rec = {
                         "url": url,
-                        "date": pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ"),
+                        "date": date,
                         "http_headers": b"HTTP/1.1 200 OK\r\nContent-Type: text/html",
                         "body": bytes(html),
                     }
                     stream.write(_record_bytes(rec, gzip_per_record=True))
                     n += 1
-        finally:
+        except BaseException:
             if stream is not None:
                 stream.close()
-        if n:
-            yield pd.DataFrame({"segment": [seg], "n_records": [n]})
+                stream = None
+                wfs.delete_file(wtmp)
+            raise
+        if stream is not None:
+            stream.close()
+            wfs.move(wtmp, _resolve_fs(seg)[1])
+        if n or skipped:
+            yield pd.DataFrame(
+                {"segment": [seg], "n_records": [n], "n_skipped": [skipped]}
+            )
 
     return df.mapInPandas(run, schema=out_schema)

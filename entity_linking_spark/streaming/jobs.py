@@ -208,6 +208,14 @@ def streaming_link_microbatch(
         .count()
         <= blocking.ALIAS_TOKEN_BROADCAST_MAX
     )
+    # same once-outside-the-loop treatment for the candidate-join
+    # broadcast gate: the alias table is fixed for the stream's lifetime,
+    # so resolve the size gate here instead of paying a row-estimate
+    # (possibly a count() job) on every micro-batch
+    alias_broadcast_ok = (
+        blocking.alias_row_estimate(aliases)
+        <= blocking.CANDIDATE_BROADCAST_MAX_ROWS
+    )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         batch_caches: list[DataFrame] = []
@@ -224,7 +232,8 @@ def streaming_link_microbatch(
             else:
                 mentions = blocking.detect_mentions(batch_df, alias_list)
             cands = blocking.candidate_entities(
-                mentions, alias_norm, pre_normalized=True
+                mentions, alias_norm, pre_normalized=True,
+                broadcast_hint=alias_broadcast_ok,
             )
             cands.withColumn("batch_id", F.lit(batch_id)).write.mode(
                 "append"

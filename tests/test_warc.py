@@ -232,6 +232,36 @@ def test_warc_distributed_sink_roundtrip(spark, tmp_path):
     orig = {(r.url, r.warc_ts, bytes(r.html)) for r in docs.collect()}
     rt = {(r.url, r.warc_ts, bytes(r.html)) for r in back.collect()}
     assert rt == orig
+    # no .inprogress attempt files left behind after the rename commit
+    import os
+
+    assert all(f.endswith(".warc.gz") for f in os.listdir(outdir))
+
+
+def test_warc_sink_skips_null_rows_and_keeps_subsecond_ts(spark, tmp_path):
+    """Null url/ts/html rows are counted + skipped (poison-row
+    philosophy, not a dead task); sub-second timestamps roundtrip at
+    full precision via the fractional WARC-Date form."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    rows = [
+        Row(url="https://s.example/a", warc_ts=datetime.datetime(2026, 5, 1, 8, 0, 0, 500000),
+            html=b"<p>a</p>"),
+        Row(url="https://s.example/b", warc_ts=datetime.datetime(2026, 5, 1, 8, 0, 1),
+            html=b"<p>b</p>"),
+        Row(url=None, warc_ts=datetime.datetime(2026, 5, 1), html=b"<p>x</p>"),
+        Row(url="https://s.example/c", warc_ts=None, html=b"<p>y</p>"),
+        Row(url="https://s.example/d", warc_ts=datetime.datetime(2026, 5, 1), html=None),
+    ]
+    df = spark.createDataFrame(rows)
+    outdir = str(tmp_path / "sink")
+    (m,) = warc.write_warc(df, outdir, n_segments=1).collect()
+    assert m.n_records == 2 and m.n_skipped == 3
+    back = {r.url: r for r in warc.read_warc(spark, outdir).collect()}
+    assert back["https://s.example/a"].warc_ts.microsecond == 500000
+    assert back["https://s.example/b"].warc_ts.microsecond == 0
 
 
 # --- hypothesis property tests (driver-side parser, no Spark) -----------
