@@ -117,6 +117,13 @@ def main() -> None:
     extract_s = time.time() - t0
 
     errors = raw.where(F.col("parse_error").isNotNull()).count()
+
+    # egress: the distributed sink back to per-record-gzip segments
+    t0 = time.time()
+    egress_dir = os.path.join(workdir, "_egress")
+    manifest = warc.write_warc(docs, egress_dir, n_segments=n_segments).collect()
+    egress_s = time.time() - t0
+    egress_rows = sum(r.n_records for r in manifest)
     docs.unpersist()
     shutil.rmtree(workdir, ignore_errors=True)
     print(
@@ -135,6 +142,9 @@ def main() -> None:
                 "rows_ingested": ingested,
                 "rows_extracted_exact": n_ok,
                 "parse_errors": errors,
+                "egress_seconds": round(egress_s, 2),
+                "egress_docs_per_sec": round(egress_rows / egress_s, 1),
+                "egress_rows": egress_rows,
             }
         )
     )
