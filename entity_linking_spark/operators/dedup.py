@@ -297,3 +297,117 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
         .distinct()
     )
+
+
+def window_hash_positions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    window: int = 20,
+) -> DataFrame:
+    """(id, pos, whash): the polynomial hash of every ``window``-token
+    window, with its token position — the posting-list input for
+    repeated-substring detection. The hash is the same oracle-replayable
+    31-poly mod 1e9+7 the rolling fingerprint uses (functions/text.py),
+    computed O(chars) per doc by the vectorized prefix-hash pass; docs of
+    <= window tokens emit one whole-doc window at pos 0."""
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from entity_linking_spark.functions.text import _all_window_hashes
+
+    out_schema = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("pos", IntegerType(), False),
+            StructField("whash", LongType(), False),
+        ]
+    )
+
+    src = df.select(F.col(id_col).cast("string").alias("id"), F.col(text_col))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, poss, hashes = [], [], []
+            for did, text in zip(pdf["id"], pdf[text_col]):
+                if text is None:
+                    continue
+                vals = _all_window_hashes(text, window)
+                ids.extend([did] * len(vals))
+                poss.extend(range(len(vals)))
+                hashes.extend(vals.tolist())
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="object"),
+                    "pos": pd.Series(poss, dtype="int32"),
+                    "whash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    window: int = 20,
+    min_docs: int = 2,
+    max_postings: int = 256,
+) -> DataFrame:
+    """Cross-document repeated-substring detection (the ExactSubstr-style
+    dedup of the public training-data literature — Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — re-
+    expressed relationally instead of via a monolithic suffix array):
+    every ``window``-token span whose hash appears in >= ``min_docs``
+    distinct documents is reported, with overlapping duplicated windows
+    merged into MAXIMAL spans per document (gaps-and-islands, pure JVM
+    window functions).
+
+    Returns (id, span_start, span_end, n_windows): token-position spans,
+    end exclusive.
+
+    Scale design: the only Python is the O(chars) window-hash pass; the
+    posting aggregate is one map-side-combined shuffle on an int64 key;
+    ``max_postings`` is the stop-key cap — a boilerplate window present
+    in millions of docs would otherwise fan its posting list into every
+    reducer (those windows are exactly what doc-level exact/minhash
+    dedup already handles; the cap is reported by the caller's own
+    count, not silently absorbed). Windows never leave the JVM after
+    the hash pass; no pair table is ever formed (postings, not O(n^2))."""
+    from pyspark.sql import Window
+
+    wh = window_hash_positions(df, text_col, id_col, window)
+    dup_keys = (
+        wh.groupBy("whash")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count("*").alias("n_postings"),
+        )
+        .where(
+            (F.col("n_docs") >= min_docs) & (F.col("n_postings") <= max_postings)
+        )
+        .select("whash")
+    )
+    dup = wh.join(dup_keys, "whash", "left_semi")
+    # gaps-and-islands: a new island starts where this window neither
+    # overlaps nor touches any previous duplicated window ([pos,
+    # pos+window) spans; touching regions merge into one contiguous span)
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + window).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = F.sum(
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    ).over(w)
+    return (
+        dup.withColumn("_grp", grp)
+        .groupBy("id", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("_grp")
+    )

@@ -246,3 +246,99 @@ def test_ann_recall_sf01_planted_neardups(spark):
         # the query vector itself is in the corpus: must always be found
         self_hits = sum(1 for q in range(20) if q in got.get(q, set()))
         assert self_hits == 20, (name, self_hits)
+
+
+def _ref_duplicated_spans(docs, window, min_docs):
+    """Pure-Python reference for duplicated_spans: O(n*W) per doc, hash
+    replayed per window from first principles (functions/text._poly_hash
+    over the joined lowered token window)."""
+    from collections import defaultdict
+
+    from entity_linking_spark.functions.text import _poly_hash
+
+    windows = {}  # id -> [(pos, hash)]
+    postings = defaultdict(set)
+    for did, text in docs:
+        toks = text.lower().split(" ")
+        if len(toks) <= window:
+            ws = [(0, _poly_hash(" ".join(toks)))]
+        else:
+            ws = [
+                (i, _poly_hash(" ".join(toks[i : i + window])))
+                for i in range(len(toks) - window + 1)
+            ]
+        windows[did] = ws
+        for _, h in ws:
+            postings[h].add(did)
+    spans = {}
+    for did, ws in windows.items():
+        dup_pos = [p for p, h in ws if len(postings[h]) >= min_docs]
+        merged = []
+        for p in dup_pos:
+            if merged and p <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], p + window)
+                merged[-1][2] += 1
+            else:
+                merged.append([p, p + window, 1])
+        if merged:
+            spans[did] = {(a, b, n) for a, b, n in merged}
+    return spans
+
+
+def test_duplicated_spans_exactsubstr(spark):
+    """Cross-doc repeated-substring detection: a shared 30-token run is
+    reported as one maximal merged span per doc at the right token
+    offsets; unique text yields nothing; the posting cap drops viral
+    windows. Verified against a from-first-principles Python replay."""
+    shared = " ".join(f"s{i}" for i in range(30))
+    docs = [
+        ("a", " ".join(f"a{i}" for i in range(25)) + " " + shared),
+        ("b", shared + " " + " ".join(f"b{i}" for i in range(40))),
+        ("c", " ".join(f"c{i}" for i in range(60))),  # unique: no spans
+    ]
+    W = 20
+    df = spark.createDataFrame(docs, "url string, text string")
+    rows = dedup.duplicated_spans(df, window=W).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.id, set()).add((r.span_start, r.span_end, r.n_windows))
+    expected = _ref_duplicated_spans(docs, W, 2)
+    assert got == expected
+    # doc a: the shared run occupies tokens [25, 55) -> one span
+    assert got["a"] == {(25, 55, 11)}
+    assert got["b"] == {(0, 30, 11)}
+    assert "c" not in got
+    # viral window: the same run in MANY docs blows the posting cap and
+    # is dropped (doc-level dedup owns that case)
+    viral_docs = docs + [(f"v{i}", shared + f" tail{i} x y z") for i in range(30)]
+    vdf = spark.createDataFrame(viral_docs, "url string, text string")
+    capped = dedup.duplicated_spans(vdf, window=W, max_postings=10).collect()
+    assert capped == []
+
+
+def test_duplicated_spans_randomized(spark):
+    """Randomized agreement with the Python replay: seeded corpora with
+    planted shared runs of assorted lengths and positions."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(300)]
+    runs = [
+        " ".join(rng.choice(vocab) for _ in range(L)) for L in (22, 35, 50)
+    ]
+    docs = []
+    for d in range(12):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(25, 90))]
+        text = " ".join(toks)
+        if d % 3 != 2:  # two thirds of docs embed a shared run
+            run = runs[d % len(runs)]
+            cut = rng.randint(0, len(toks))
+            text = " ".join(toks[:cut] + [run] + toks[cut:])
+        docs.append((f"d{d}", text))
+    W = 20
+    df = spark.createDataFrame(docs, "url string, text string")
+    rows = dedup.duplicated_spans(df, window=W, max_postings=1000).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.id, set()).add((r.span_start, r.span_end, r.n_windows))
+    assert got == _ref_duplicated_spans(docs, W, 2)
