@@ -171,16 +171,38 @@ def _poly_hash(s: str) -> int:
     return h
 
 
-# growing power tables, shared across batches within a worker process
-# (pandas_udf workers are single-threaded, so plain lists are safe)
-_POW31: list[int] = [1]
-_INV31: list[int] = [1]
+# block size for the stateless power computation below: the per-call
+# Python loop is bounded by _POW_BLOCK + n/_POW_BLOCK iterations (~17k
+# for a 10 MB doc), everything else is one numpy outer product
+_POW_BLOCK = 1 << 14
 
 
-def _grow_powers(n: int) -> None:
-    while len(_POW31) <= n:
-        _POW31.append(_POW31[-1] * _POLY_MUL % _POLY_MOD)
-        _INV31.append(_INV31[-1] * _POLY_INV % _POLY_MOD)
+def _pow_array(base: int, n: int) -> np.ndarray:
+    """[base^0 .. base^(n-1)] mod p as an int64 array, with NO persistent
+    state. Replaces the round-4 growing module-level power tables, which
+    grew to the longest document's char count and never shrank — one
+    10 MB doc pinned ~2x10^7 Python ints (~150 MB) per worker for the
+    process lifetime. Block decomposition: base^(q*B + r) =
+    (base^B)^q * base^r mod p; the two small factor tables come from
+    bounded Python loops and the full table is one numpy outer product.
+    Products stay exact: both factors < p = 1e9+7, so hi*lo < p^2
+    ~ 1.00e18 < 2^63 - 1 ~ 9.22e18 — no int64 overflow."""
+    b = min(n, _POW_BLOCK)
+    lo = np.empty(b, dtype=np.int64)
+    v = 1
+    for i in range(b):
+        lo[i] = v
+        v = v * base % _POLY_MOD
+    if n <= _POW_BLOCK:
+        return lo
+    nq = (n + _POW_BLOCK - 1) // _POW_BLOCK
+    hi = np.empty(nq, dtype=np.int64)
+    step = pow(base, _POW_BLOCK, _POLY_MOD)
+    w = 1
+    for q in range(nq):
+        hi[q] = w
+        w = w * step % _POLY_MOD
+    return ((hi[:, None] * lo[None, :]) % _POLY_MOD).reshape(-1)[:n]
 
 
 def _all_window_hashes(t: str, window: int) -> np.ndarray:
@@ -200,13 +222,15 @@ def _all_window_hashes(t: str, window: int) -> np.ndarray:
     n_toks = len(toks)
     nc = len(s)
     if n_toks <= window:
-        # before growing the tables: a giant single-token doc (minified
-        # JS, base64 blob) takes this scalar path and must not pin
-        # O(chars) of power-table ints in the worker forever
+        # cheap scalar path for the whole-doc window: a giant
+        # single-token doc (minified JS, base64 blob) never needs the
+        # vectorized machinery at all
         return np.array([_poly_hash(s)], dtype=np.int64)
-    _grow_powers(nc + 1)
-    pw = np.asarray(_POW31[: nc + 1], dtype=np.int64)
-    inv = np.asarray(_INV31[:nc], dtype=np.int64)
+    # power tables are computed per call and freed with it (numpy int64,
+    # not Python ints) — peak transient cost for a 10 MB doc is ~160 MB
+    # of arrays inside one Arrow batch, persistent cost zero
+    pw = _pow_array(_POLY_MUL, nc + 1)
+    inv = _pow_array(_POLY_INV, nc)
     cps = np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(np.int64)
     # cp < 2^21 and inv < p ≈ 2^30 → products < 2^51; cumsum of < 2^33
     # terms each < p stays under int64 — no overflow anywhere below

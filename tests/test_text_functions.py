@@ -171,6 +171,64 @@ def test_rolling_hash_vectorized_equals_reference():
         assert 0 <= got < _POLY_MOD
 
 
+def test_pow_array_exact_and_stateless():
+    """_pow_array must equal the scalar pow() chain exactly across the
+    block boundary, and the module must hold NO growing power table
+    (the round-4 finding: one mega-doc pinned ~150 MB of Python ints
+    per worker forever)."""
+    import numpy as np
+
+    from entity_linking_spark.functions import text as T2
+    from entity_linking_spark.functions.text import (
+        _POLY_INV,
+        _POLY_MOD,
+        _POLY_MUL,
+        _POW_BLOCK,
+        _pow_array,
+    )
+
+    for base in (_POLY_MUL, _POLY_INV):
+        for n in (1, 2, _POW_BLOCK - 1, _POW_BLOCK, _POW_BLOCK + 1, 3 * _POW_BLOCK + 7):
+            got = _pow_array(base, n)
+            assert got.dtype == np.int64 and len(got) == n
+            # spot-check exactly (full scalar chain at the small sizes,
+            # boundary/byte-identity probes at the big ones)
+            idx = range(n) if n <= 2 else [0, 1, n // 2, n - 2, n - 1]
+            for i in idx:
+                assert got[i] == pow(base, i, _POLY_MOD), (base, n, i)
+    # no unbounded module-level cache survives a call
+    _pow_array(_POLY_MUL, 100_000)
+    leaked = [
+        k
+        for k, v in vars(T2).items()
+        if isinstance(v, (list, dict)) and len(v) > 1_000
+    ]
+    assert leaked == []
+
+
+def test_window_hashes_multi_mb_multitoken_doc():
+    """A multi-MB MULTI-token doc (the round-4 guard only covered the
+    single-token case) takes the vectorized path, stays exact vs the
+    per-window reference on sampled windows, and leaves no persistent
+    table behind."""
+    import random
+
+    from entity_linking_spark.functions.text import (
+        _all_window_hashes,
+        _poly_hash,
+    )
+
+    rng = random.Random(11)
+    toks = ["tok%06d" % rng.randrange(1_000_000) for _ in range(400_000)]
+    doc = " ".join(toks)  # ~3.6 MB, 400k tokens
+    W = 20
+    hashes = _all_window_hashes(doc, W)
+    assert len(hashes) == len(toks) - W + 1
+    for i in (0, 1, 12345, len(hashes) // 2, len(hashes) - 1):
+        expect = _poly_hash(" ".join(toks[i : i + W]).lower())
+        assert int(hashes[i]) == expect, i
+
+
 def test_redact_pii_and_hit_count(spark):
     from pyspark.sql import Row
 
