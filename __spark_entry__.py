@@ -24,7 +24,12 @@ text_analysis_suite; S1/S2/S4 -> s1_s4_jsonl_bz2_scan; J4 semi + anti
 oracle-backed j5_bm25_topk — J5 was rows-only through round 2);
 P5 + P6 -> p5_p6_array_filter_remove (round 4, freeing the slot that
 now holds the oracle-backed mention_detect_greedy: the beyond-broadcast
-join mention path with a recursive-CTE greedy-scan DuckDB twin).
+join mention path with a recursive-CTE greedy-scan DuckDB twin);
+F9 + F13 -> merged into the f7 scalar chain (round 5, freeing the slot
+that now holds the oracle-backed duplicated_span_removal: ExactSubstr
+detection + span removal with a full DuckDB hash/islands/slice twin);
+ann_lsh_topk + ann_ivf_topk -> ann_lsh_ivf_topk (round 5, freeing a
+rows-only slot for the warc_roundtrip container check).
 """
 
 from __future__ import annotations
@@ -133,6 +138,54 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_topk(emb, queries_df, k=5)
 
 
+def _ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ANN index shapes through one gate slot (round-5 merge,
+    freeing a rows-only slot for warc_roundtrip): LSH multiprobe and
+    IVF top-k over the same queries, tagged by method. Recall bounds
+    vs brute force are pytest-pinned per method (test_dedup_ann)."""
+    lsh = _ann_lsh(spark, sf_dir).withColumn("method", F.lit("lsh"))
+    ivf = _ann_ivf(spark, sf_dir).withColumn("method", F.lit("ivf"))
+    return lsh.unionByName(ivf)
+
+
+def _warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only gate row for the WARC container (round-4 verdict #2):
+    documents -> distributed write_warc (per-record gzip members,
+    rename-on-commit segments) -> read_warc (streamed member parse) ->
+    one row per document with the payload's sha256. Container parsing
+    is not SQL-expressible, so the row is rows-only like the ANN ones —
+    but the driver now exercises the full format roundtrip every round:
+    a framing bug upstream would change row count, a payload bug the
+    hashes, a header bug the url/timestamp columns."""
+    import shutil
+
+    from entity_linking_spark.sources import warc as W
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = d.select(
+        F.concat(F.lit("https://corpus.example.org/doc/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        # deterministic distinct per-row timestamps incl. a fractional-
+        # second tail (exercises the writer's microsecond path)
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.col("doc_id") + F.col("doc_id") / 1000.0
+        ).alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+    )
+    out = f"/tmp/elspark_warc_gate_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
+    shutil.rmtree(out, ignore_errors=True)
+    # the write is the action half; collect() runs it eagerly so the
+    # returned frame reads committed segments
+    W.write_warc(docs, out, n_segments=8).collect()
+    back = W.warc_documents(W.read_warc(spark, out))
+    return back.select(
+        "url",
+        F.sha2(F.col("html"), 256).alias("html_sha256"),
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts"),
+    ).orderBy("url")
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate row for the multimodal decode plumbing — exercises ALL FOUR
     codec paths through the same mapInPandas stage via codec='auto'
@@ -214,10 +267,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # table-driven fold and reproduces the simhash bit votes exactly
     out["dedup_simhash_pairs"] = _dedup_simhash
     # non-SQL-expressible: rows-only checks (custom vectorized operators,
-    # each pytest-verified; kept LAST so the oracle-gated window is full)
-    out["ann_lsh_topk"] = _ann_lsh
-    out["ann_ivf_topk"] = _ann_ivf
+    # each pytest-verified; kept LAST so the oracle-gated window is full).
+    # Round 5: the two ANN entries merged into one slot (method-tagged
+    # union) to make room for the WARC container roundtrip.
+    out["ann_lsh_ivf_topk"] = _ann_lsh_ivf
     out["multimodal_decode_features"] = _multimodal_features
+    out["warc_roundtrip"] = _warc_roundtrip
     return out
 
 

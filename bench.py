@@ -47,6 +47,7 @@ def main() -> None:
         "dedup_minhash_pairs",
         "j5_bm25_topk",
         "mention_detect_greedy",
+        "duplicated_span_removal",
     ]
     all_q = Q.all_queries()
     times: dict[str, float] = {}

@@ -155,19 +155,22 @@ _POLY_MUL = 31
 _POLY_INV = pow(_POLY_MUL, _POLY_MOD - 2, _POLY_MOD)
 
 
-def _poly_hash(s: str) -> int:
+def _poly_hash(s: str, mul: int = _POLY_MUL) -> int:
     """Polynomial codepoint hash, chosen over crc32 because it is exactly
     replayable in ANSI SQL (DuckDB list_reduce over unicode codepoints):
-    h = cp0, then h = (h*31 + cp_i) mod 1e9+7 — matching list_reduce's
+    h = cp0, then h = (h*mul + cp_i) mod 1e9+7 — matching list_reduce's
     first-element-as-accumulator semantics. (Seeding with cp0 equals
-    folding from 0: 0*31 + cp0 = cp0 — so this is the plain polynomial
-    hash sum(cp_i * 31^(n-1-i)) mod p.) Reference implementation; the
-    vectorized rolling path below must agree exactly (property-tested)."""
+    folding from 0: 0*mul + cp0 = cp0 — so this is the plain polynomial
+    hash sum(cp_i * mul^(n-1-i)) mod p.) Reference implementation; the
+    vectorized rolling path below must agree exactly (property-tested).
+    ``mul`` selects the hash family: duplicated-span detection combines
+    two independent multipliers (31 and 131) because one mod-1e9+7 hash
+    saturates at trillion-window corpus scale."""
     if not s:
         return 0
     h = ord(s[0])
     for c in s[1:]:
-        h = (h * _POLY_MUL + ord(c)) % _POLY_MOD
+        h = (h * mul + ord(c)) % _POLY_MOD
     return h
 
 
@@ -205,18 +208,18 @@ def _pow_array(base: int, n: int) -> np.ndarray:
     return ((hi[:, None] * lo[None, :]) % _POLY_MOD).reshape(-1)[:n]
 
 
-def _all_window_hashes(t: str, window: int) -> np.ndarray:
+def _all_window_hashes(t: str, window: int, mul: int = _POLY_MUL) -> np.ndarray:
     """Polynomial hash of EVERY ``window``-token window in O(chars).
 
     Key identity: `" ".join(t.lower().split(" ")) == t.lower()`, so every
     token window is a CONTIGUOUS SUBSTRING of the lowered text. One
     vectorized prefix-hash pass then prices every window at O(1):
-    H(b) = hash(s[:b]) = 31^(b-1) * sum_{i<b} cp_i * 31^-i  (mod p), the
-    sum being a single numpy cumsum; hash(s[a:b]) = H(b) - H(a)*31^(b-a).
-    Replaces the round-3 version that re-hashed all W tokens per window —
-    O(len·W·chars) per doc, the judge's "not actually rolling" finding.
-    Returns one hash per window position (a single whole-doc window for
-    docs of <= ``window`` tokens)."""
+    H(b) = hash(s[:b]) = mul^(b-1) * sum_{i<b} cp_i * mul^-i  (mod p),
+    the sum being a single numpy cumsum; hash(s[a:b]) = H(b) -
+    H(a)*mul^(b-a). Replaces the round-3 version that re-hashed all W
+    tokens per window — O(len·W·chars) per doc, the judge's "not
+    actually rolling" finding. Returns one hash per window position (a
+    single whole-doc window for docs of <= ``window`` tokens)."""
     s = t.lower()
     toks = s.split(" ")
     n_toks = len(toks)
@@ -225,12 +228,12 @@ def _all_window_hashes(t: str, window: int) -> np.ndarray:
         # cheap scalar path for the whole-doc window: a giant
         # single-token doc (minified JS, base64 blob) never needs the
         # vectorized machinery at all
-        return np.array([_poly_hash(s)], dtype=np.int64)
+        return np.array([_poly_hash(s, mul)], dtype=np.int64)
     # power tables are computed per call and freed with it (numpy int64,
     # not Python ints) — peak transient cost for a 10 MB doc is ~160 MB
     # of arrays inside one Arrow batch, persistent cost zero
-    pw = _pow_array(_POLY_MUL, nc + 1)
-    inv = _pow_array(_POLY_INV, nc)
+    pw = _pow_array(mul, nc + 1)
+    inv = _pow_array(pow(mul, _POLY_MOD - 2, _POLY_MOD), nc)
     cps = np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(np.int64)
     # cp < 2^21 and inv < p ≈ 2^30 → products < 2^51; cumsum of < 2^33
     # terms each < p stays under int64 — no overflow anywhere below

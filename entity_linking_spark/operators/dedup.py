@@ -299,29 +299,47 @@ def embedding_near_dup_pairs(
     )
 
 
+# second multiplier for the combined window hash below (31 is the
+# fingerprint family's; 131 is independent of it mod 1e9+7)
+_WHASH_MUL2 = 131
+_WHASH_P = 1_000_000_007
+
+
 def window_hash_positions(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "url",
     window: int = 20,
 ) -> DataFrame:
-    """(id, pos, whash): the polynomial hash of every ``window``-token
-    window, with its token position — the posting-list input for
-    repeated-substring detection. The hash is the same oracle-replayable
-    31-poly mod 1e9+7 the rolling fingerprint uses (functions/text.py),
-    computed O(chars) per doc by the vectorized prefix-hash pass; docs of
-    <= window tokens emit one whole-doc window at pos 0."""
+    """(id, pos, whash, n_toks): the polynomial hash of every
+    ``window``-token window, with its token position and the document's
+    token count — the posting-list input for repeated-substring
+    detection. Docs of <= window tokens emit one whole-doc window at
+    pos 0.
+
+    The key is TWO independent oracle-replayable poly hashes (multipliers
+    31 and 131, both mod p = 1e9+7, the rolling-fingerprint family in
+    functions/text.py) packed into one int64 as h31*p + h131: a single
+    mod-1e9+7 hash saturates at the corpus scale this operator targets
+    (10^12 windows into 10^9 buckets puts ~10^3 different windows in
+    EVERY bucket — a catastrophic false-dup rate), while the combined
+    ~2^60 key space keeps the per-window false-positive rate ~5e-7 even
+    at a trillion windows. Packing stays exact in int64: h31*p + h131
+    < p^2 + p ~ 1.0e18 < 2^63. Both hash passes are the O(chars)
+    vectorized prefix-hash computation; DuckDB replays each with a
+    list_reduce fold and the same packing arithmetic."""
     from collections.abc import Iterator
 
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
-    from entity_linking_spark.functions.text import _all_window_hashes
+    from entity_linking_spark.functions.text import _POLY_MUL, _all_window_hashes
 
     out_schema = StructType(
         [
             StructField("id", StringType(), False),
             StructField("pos", IntegerType(), False),
             StructField("whash", LongType(), False),
+            StructField("n_toks", IntegerType(), False),
         ]
     )
 
@@ -329,19 +347,26 @@ def window_hash_positions(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, poss, hashes = [], [], []
+            ids, poss, hashes, ntoks = [], [], [], []
             for did, text in zip(pdf["id"], pdf[text_col]):
                 if text is None:
                     continue
-                vals = _all_window_hashes(text, window)
+                h31 = _all_window_hashes(text, window, _POLY_MUL)
+                h131 = _all_window_hashes(text, window, _WHASH_MUL2)
+                vals = h31 * _WHASH_P + h131
+                # single-space-split token count without a second split:
+                # len(s.split(' ')) == s.count(' ') + 1 by definition
+                nt = text.count(" ") + 1
                 ids.extend([did] * len(vals))
                 poss.extend(range(len(vals)))
                 hashes.extend(vals.tolist())
+                ntoks.extend([nt] * len(vals))
             yield pd.DataFrame(
                 {
                     "id": pd.Series(ids, dtype="object"),
                     "pos": pd.Series(poss, dtype="int32"),
                     "whash": pd.Series(hashes, dtype="int64"),
+                    "n_toks": pd.Series(ntoks, dtype="int32"),
                 }
             )
 
@@ -355,7 +380,8 @@ def duplicated_spans(
     window: int = 20,
     min_docs: int = 2,
     max_postings: int = 256,
-) -> DataFrame:
+    return_dropped: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Cross-document repeated-substring detection (the ExactSubstr-style
     dedup of the public training-data literature — Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better" — re-
@@ -373,23 +399,24 @@ def duplicated_spans(
     ``max_postings`` is the stop-key cap — a boilerplate window present
     in millions of docs would otherwise fan its posting list into every
     reducer (those windows are exactly what doc-level exact/minhash
-    dedup already handles; the cap is reported by the caller's own
-    count, not silently absorbed). Windows never leave the JVM after
-    the hash pass; no pair table is ever formed (postings, not O(n^2))."""
+    dedup already handles). Windows never leave the JVM after the hash
+    pass; no pair table is ever formed (postings, not O(n^2)).
+
+    ``return_dropped=True`` additionally returns the stop-keyed windows
+    as a DataFrame (whash, n_docs, n_postings) — one row per duplicated
+    window the cap EXCLUDED — so the cap is never silent: callers count
+    or persist it next to the spans (dedup_repeated_substrings and the
+    gate row do). span_end is clamped to the document's token count
+    (whole-doc windows on short docs would otherwise overshoot,
+    corrupting any consumer that slices tokens by these bounds)."""
     from pyspark.sql import Window
 
     wh = window_hash_positions(df, text_col, id_col, window)
-    dup_keys = (
-        wh.groupBy("whash")
-        .agg(
-            F.countDistinct("id").alias("n_docs"),
-            F.count("*").alias("n_postings"),
-        )
-        .where(
-            (F.col("n_docs") >= min_docs) & (F.col("n_postings") <= max_postings)
-        )
-        .select("whash")
-    )
+    key_stats = wh.groupBy("whash").agg(
+        F.countDistinct("id").alias("n_docs"),
+        F.count("*").alias("n_postings"),
+    ).where(F.col("n_docs") >= min_docs)
+    dup_keys = key_stats.where(F.col("n_postings") <= max_postings).select("whash")
     dup = wh.join(dup_keys, "whash", "left_semi")
     # gaps-and-islands: a new island starts where this window neither
     # overlaps nor touches any previous duplicated window ([pos,
@@ -401,13 +428,99 @@ def duplicated_spans(
     grp = F.sum(
         F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
     ).over(w)
-    return (
+    spans = (
         dup.withColumn("_grp", grp)
         .groupBy("id", "_grp")
         .agg(
             F.min("pos").alias("span_start"),
-            (F.max("pos") + window).alias("span_end"),
+            F.least(F.max("pos") + window, F.max("n_toks").cast("long")).alias(
+                "span_end"
+            ),
             F.count("*").alias("n_windows"),
         )
         .drop("_grp")
     )
+    if return_dropped:
+        dropped = key_stats.where(F.col("n_postings") > max_postings)
+        return spans, dropped
+    return spans
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+) -> DataFrame:
+    """Cut token spans out of documents — the curation ACTION of
+    ExactSubstr dedup (Lee et al. 2022 cut the duplicated spans; round
+    4's duplicated_spans only reported them).
+
+    ``spans``: (id, span_start, span_end) token-position spans, end
+    exclusive, 0-based over the single-space token split (exactly
+    duplicated_spans' output). Returns the input frame plus
+    ``clean_text`` (the text with span tokens removed, single-space
+    rejoined) and ``n_removed_tokens``. Docs with no spans pass through
+    with clean_text == text and 0 removed.
+
+    Scale shape: spans collapse to one small array per doc (sort_array
+    + collect_list — spans per doc are the merged maximal islands, a
+    handful even for heavily-duplicated docs), broadcast-or-shuffle
+    LEFT join back to the docs, then a pure JVM higher-order filter:
+    token i survives when no span covers it. No Python anywhere."""
+    per_doc = spans.groupBy(F.col("id").alias("_sid")).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans")
+    )
+    joined = df.join(
+        per_doc, F.col(id_col).cast("string") == F.col("_sid"), "left"
+    ).drop("_sid")
+    toks = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        toks,
+        lambda _tok, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    clean = F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
+        F.concat_ws(" ", kept)
+    )
+    removed = F.when(F.col("_spans").isNull(), F.lit(0)).otherwise(
+        F.size(toks) - F.size(kept)
+    )
+    return (
+        joined.withColumn("clean_text", clean)
+        .withColumn("n_removed_tokens", removed)
+        .drop("_spans")
+    )
+
+
+def dedup_repeated_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    window: int = 20,
+    min_docs: int = 2,
+    max_postings: int = 256,
+) -> tuple[DataFrame, DataFrame]:
+    """Detection + removal composed: the full ExactSubstr curation pass.
+
+    Returns (cleaned, dropped): ``cleaned`` is ``df`` + clean_text +
+    n_removed_tokens with every cross-document duplicated span cut from
+    EVERY document carrying it (the public deduplicate-text-datasets
+    behavior — all occurrences are cut; callers wanting a keep-one
+    policy filter the span table before remove_duplicated_spans);
+    ``dropped`` is the stop-keyed hot-window table (whash, n_docs,
+    n_postings) so the max_postings cap is observable, never silent."""
+    spans, dropped = duplicated_spans(
+        df,
+        text_col,
+        id_col,
+        window=window,
+        min_docs=min_docs,
+        max_postings=max_postings,
+        return_dropped=True,
+    )
+    return remove_duplicated_spans(df, spans, text_col, id_col), dropped

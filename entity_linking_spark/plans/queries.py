@@ -464,7 +464,7 @@ def so1_so2_so3_setops(spark, sf_dir):
 # ------------------------------------------------- scalar string/math fns
 
 @query(
-    "f7_f10_f11_f12_f16_scalar_chain",
+    "f7_f9_f10_f11_f12_f13_f16_scalar_chain",
     """WITH u AS (
          SELECT *, 'https://' || source || '.example.org/' || lang
                    || '/doc%20' || CAST(doc_id AS VARCHAR) AS wurl
@@ -475,12 +475,19 @@ def so1_so2_so3_setops(spark, sf_dir):
               string_split(wurl, '/')[3] AS host,
               replace(regexp_extract(wurl, '^[a-z]+://[^/]+(/.+)$', 1), '%20', ' ') AS link_path,
               array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), ' ') AS joined,
-              round(ln(1 + n_chars), 4) AS boost
+              round(ln(1 + n_chars), 4) AS boost,
+              array_to_string(string_split(text, ' ')[1:10], ' ') AS first_10,
+              array_to_string(string_split(text, ' ')[-10:], ' ') AS last_10,
+              strpos(text, 'join') AS pos
        FROM u WHERE doc_id < 200 ORDER BY doc_id""",
 )
-def f7_f10_f11_f12_f16_scalar_chain(spark, sf_dir):
+def f7_f9_f10_f11_f12_f13_f16_scalar_chain(spark, sf_dir):
     """Scalar-function chain, one projection row per doc:
     F7 description[:100] truncation (data_process_.py:196),
+    F9 first/last N space-tokens of a context window
+       (candidate_retrieval/utils.py:198-208) — merged in from the
+       round-2 f9_f13 slot in round 5, freeing the slot that now holds
+       the oracle-backed duplicated_span_removal,
     F10 idx.split('curid=')[-1] -> int (main_dense.py:130-135),
     F11 URL host parse + percent-unquote of the link path
         (process_wiki_extractor_output_links.py:53,86-88,104-114) — the
@@ -489,6 +496,8 @@ def f7_f10_f11_f12_f16_scalar_chain(spark, sf_dir):
         url must yield NULL, never kill the stage), the oracle replays
         them with split/replace,
     F12 join non-empty lines (data_ingestion.py:113-116),
+    F13 first occurrence offset (text.index / locate,
+        service_main.py:128),
     F16 log(1+num_incoming_links) boost (candidate_generators.py:127)."""
     d = _t(spark, sf_dir, "documents")
     url = F.concat(F.lit("https://en.wikipedia.org/wiki?curid="), F.col("doc_id"))
@@ -500,6 +509,9 @@ def f7_f10_f11_f12_f16_scalar_chain(spark, sf_dir):
         F.lit("/doc%20"),
         F.col("doc_id"),
     )
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    last10 = F.slice(toks, F.greatest(n - 9, F.lit(1)), 10)
     return (
         d.where(F.col("doc_id") < 200)
         .select(
@@ -512,6 +524,9 @@ def f7_f10_f11_f12_f16_scalar_chain(spark, sf_dir):
                 " ", F.filter(F.split(F.col("text"), " "), lambda x: x != "")
             ).alias("joined"),
             F.round(F.log1p(F.col("n_chars")), 4).alias("boost"),
+            F.concat_ws(" ", F.slice(toks, 1, 10)).alias("first_10"),
+            F.concat_ws(" ", last10).alias("last_10"),
+            F.locate("join", F.col("text")).alias("pos"),
         )
         .orderBy("doc_id")
     )
@@ -1126,29 +1141,145 @@ def stream_windowed_counts(spark, sf_dir):
     )
 
 
-@query(
-    "f9_f13_window_slice_offset",
-    """SELECT doc_id,
-              array_to_string(string_split(text, ' ')[1:10], ' ') AS first_10,
-              array_to_string(string_split(text, ' ')[-10:], ' ') AS last_10,
-              strpos(text, 'join') AS pos
-       FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
-)
-def f9_f13_window_slice_offset(spark, sf_dir):
-    """F9 first/last N space-tokens of a context window
-    (candidate_retrieval/utils.py:198-208) + F13 first occurrence offset
-    (text.index / locate, service_main.py:128)."""
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    last10 = F.slice(toks, F.greatest(n - 9, F.lit(1)), 10)
+# (f9_f13_window_slice_offset merged into the f7 scalar chain above,
+# round 5 — both op ids still exercised and visible in the slot name;
+# the freed slot holds duplicated_span_removal below)
+
+
+_DUP_SPAN_WINDOW = 8
+_DUP_SPAN_MAX_POSTINGS = 256
+
+
+def _poly_fold_sql(expr: str, mul: int) -> str:
+    """DuckDB replay of functions/text._poly_hash(s, mul): list_reduce
+    seeds the accumulator with the first codepoint then folds
+    (a*mul + cp) mod 1e9+7; '' hashes to 0 (same guard as the rolling
+    fingerprint oracle)."""
     return (
-        d.where(F.col("doc_id") < 100)
+        f"CASE WHEN {expr} = '' THEN 0 ELSE list_reduce("
+        f"list_transform(string_split({expr}, ''), "
+        "c -> CAST(unicode(c) AS BIGINT)), "
+        f"(a, x) -> (a * {mul} + x) % 1000000007) END"
+    )
+
+
+_DUP_SPAN_ORACLE = f"""
+WITH tk AS (SELECT doc_id, text,
+                   string_split(text, ' ') AS t,
+                   string_split(lower(text), ' ') AS lt
+            FROM documents),
+w AS (SELECT doc_id, len(t) AS n_toks,
+             CASE WHEN len(lt) <= {_DUP_SPAN_WINDOW}
+                  THEN [array_to_string(lt, ' ')]
+                  ELSE list_transform(
+                         generate_series(1, len(lt) - {_DUP_SPAN_WINDOW - 1}),
+                         i -> array_to_string(lt[i:i + {_DUP_SPAN_WINDOW - 1}], ' '))
+             END AS ws
+      FROM tk),
+w2 AS (SELECT doc_id, n_toks,
+              list_transform(ws, s -> {_poly_fold_sql("s", 31)} * 1000000007
+                                      + {_poly_fold_sql("s", 131)}) AS whs
+       FROM w),
+wh AS (SELECT doc_id, n_toks,
+              unnest(generate_series(1, len(whs))) - 1 AS pos,
+              unnest(whs) AS whash
+       FROM w2),
+dk AS (SELECT whash FROM wh GROUP BY whash
+       HAVING count(DISTINCT doc_id) >= 2
+          AND count(*) <= {_DUP_SPAN_MAX_POSTINGS}),
+dp AS (SELECT doc_id, pos, n_toks FROM wh
+       WHERE whash IN (SELECT whash FROM dk)),
+isl AS (SELECT doc_id, pos, n_toks,
+               max(pos + {_DUP_SPAN_WINDOW}) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM dp),
+grp AS (SELECT doc_id, pos, n_toks,
+               sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM isl),
+spans AS (SELECT doc_id, g, min(pos) AS s,
+                 least(max(pos) + {_DUP_SPAN_WINDOW},
+                       CAST(max(n_toks) AS BIGINT)) AS e,
+                 count(*) AS nw
+          FROM grp GROUP BY doc_id, g),
+agg AS (SELECT doc_id,
+               string_agg(s || '-' || e || '-' || nw, ';' ORDER BY s)
+                   AS spans_csv,
+               CAST(sum(e - s) AS BIGINT) AS n_removed
+        FROM spans GROUP BY doc_id),
+toks AS (SELECT doc_id,
+                unnest(generate_series(1, len(t))) AS p,
+                unnest(t) AS tok
+         FROM tk),
+kept AS (SELECT doc_id, p, tok FROM toks
+         WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                           WHERE sp.doc_id = toks.doc_id
+                             AND p - 1 >= sp.s AND p - 1 < sp.e)),
+clean AS (SELECT doc_id,
+                 coalesce(string_agg(tok, ' ' ORDER BY p), '') AS clean_text
+          FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.spans_csv, '') AS spans_csv,
+       coalesce(a.n_removed, 0) AS n_removed_tokens,
+       CASE WHEN a.doc_id IS NULL THEN d.text
+            ELSE coalesce(c.clean_text, '') END AS clean_text
+FROM documents d
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+LEFT JOIN clean c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@query("duplicated_span_removal", _DUP_SPAN_ORACLE)
+def duplicated_span_removal(spark, sf_dir):
+    """D6 complete: cross-document repeated-substring DETECTION (the
+    relational ExactSubstr of Lee et al. 2022 — O(chars) window hashing
+    -> int64 posting aggregate with a stop-key cap -> JVM
+    gaps-and-islands merge) chained into the curation ACTION, span
+    REMOVAL (operators/dedup.py::remove_duplicated_spans). One row per
+    document: the merged maximal spans as a csv, the removed-token
+    count, and the cleaned text. The DuckDB twin replays BOTH poly
+    hashes of the combined window key, the posting cap, the islands
+    merge, the span_end clamp, and the token-slice complement from
+    first principles."""
+    from entity_linking_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = dedup.duplicated_spans(
+        d,
+        id_col="doc_id",
+        window=_DUP_SPAN_WINDOW,
+        min_docs=2,
+        max_postings=_DUP_SPAN_MAX_POSTINGS,
+    )
+    cleaned = dedup.remove_duplicated_spans(d, spans, id_col="doc_id")
+    span_struct = F.struct("span_start", "span_end", "n_windows")
+    per_doc = spans.groupBy("id").agg(
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.sort_array(F.collect_list(span_struct)),
+                lambda s: F.concat_ws(
+                    "-",
+                    s["span_start"].cast("string"),
+                    s["span_end"].cast("string"),
+                    s["n_windows"].cast("string"),
+                ),
+            ),
+        ).alias("spans_csv")
+    )
+    return (
+        cleaned.join(
+            per_doc, cleaned["doc_id"].cast("string") == per_doc["id"], "left"
+        )
         .select(
             "doc_id",
-            F.concat_ws(" ", F.slice(toks, 1, 10)).alias("first_10"),
-            F.concat_ws(" ", last10).alias("last_10"),
-            F.locate("join", F.col("text")).alias("pos"),
+            F.coalesce("spans_csv", F.lit("")).alias("spans_csv"),
+            F.col("n_removed_tokens").cast("long").alias("n_removed_tokens"),
+            "clean_text",
         )
         .orderBy("doc_id")
     )

@@ -251,35 +251,42 @@ def test_ann_recall_sf01_planted_neardups(spark):
 def _ref_duplicated_spans(docs, window, min_docs):
     """Pure-Python reference for duplicated_spans: O(n*W) per doc, hash
     replayed per window from first principles (functions/text._poly_hash
-    over the joined lowered token window)."""
+    under BOTH multipliers over the joined lowered token window, packed
+    as h31*p + h131 — the operator's combined key), span_end clamped to
+    the doc's token count."""
     from collections import defaultdict
 
     from entity_linking_spark.functions.text import _poly_hash
+    from entity_linking_spark.operators.dedup import _WHASH_MUL2, _WHASH_P
 
-    windows = {}  # id -> [(pos, hash)]
+    def h(s):
+        return _poly_hash(s) * _WHASH_P + _poly_hash(s, _WHASH_MUL2)
+
+    windows = {}  # id -> (n_toks, [(pos, hash)])
     postings = defaultdict(set)
     for did, text in docs:
         toks = text.lower().split(" ")
         if len(toks) <= window:
-            ws = [(0, _poly_hash(" ".join(toks)))]
+            ws = [(0, h(" ".join(toks)))]
         else:
             ws = [
-                (i, _poly_hash(" ".join(toks[i : i + window])))
+                (i, h(" ".join(toks[i : i + window])))
                 for i in range(len(toks) - window + 1)
             ]
-        windows[did] = ws
-        for _, h in ws:
-            postings[h].add(did)
+        windows[did] = (len(toks), ws)
+        for _, hv in ws:
+            postings[hv].add(did)
     spans = {}
-    for did, ws in windows.items():
-        dup_pos = [p for p, h in ws if len(postings[h]) >= min_docs]
+    for did, (n_toks, ws) in windows.items():
+        dup_pos = [p for p, hv in ws if len(postings[hv]) >= min_docs]
         merged = []
         for p in dup_pos:
+            end = min(p + window, n_toks)
             if merged and p <= merged[-1][1]:
-                merged[-1][1] = max(merged[-1][1], p + window)
+                merged[-1][1] = max(merged[-1][1], end)
                 merged[-1][2] += 1
             else:
-                merged.append([p, p + window, 1])
+                merged.append([p, end, 1])
         if merged:
             spans[did] = {(a, b, n) for a, b, n in merged}
     return spans
@@ -309,11 +316,106 @@ def test_duplicated_spans_exactsubstr(spark):
     assert got["b"] == {(0, 30, 11)}
     assert "c" not in got
     # viral window: the same run in MANY docs blows the posting cap and
-    # is dropped (doc-level dedup owns that case)
+    # is dropped (doc-level dedup owns that case) — and the drop is
+    # OBSERVABLE, not silent: return_dropped surfaces the capped keys
     viral_docs = docs + [(f"v{i}", shared + f" tail{i} x y z") for i in range(30)]
     vdf = spark.createDataFrame(viral_docs, "url string, text string")
-    capped = dedup.duplicated_spans(vdf, window=W, max_postings=10).collect()
-    assert capped == []
+    capped, dropped = dedup.duplicated_spans(
+        vdf, window=W, max_postings=10, return_dropped=True
+    )
+    assert capped.collect() == []
+    drows = dropped.collect()
+    # the shared 30-token run yields 11 duplicated window hashes, each
+    # in 32 docs > the cap of 10
+    assert len(drows) == 11
+    assert all(r.n_docs == 32 and r.n_postings == 32 for r in drows)
+
+
+def test_duplicated_spans_short_doc_end_clamped(spark):
+    """A doc of <= window tokens duplicated across docs reports
+    span_end == its token count, never pos+window (the round-4 advice:
+    consumers slicing tokens by these bounds must not overshoot)."""
+    docs = [
+        ("a", "tiny shared five token doc"),
+        ("b", "tiny shared five token doc"),
+    ]
+    df = spark.createDataFrame(docs, "url string, text string")
+    rows = dedup.duplicated_spans(df, window=20).collect()
+    assert {(r.id, r.span_start, r.span_end) for r in rows} == {
+        ("a", 0, 5),
+        ("b", 0, 5),
+    }
+
+
+def test_remove_duplicated_spans_cuts_all_cross_doc_repeats(spark):
+    """The removal transform: spans cut from every carrier, clean docs
+    untouched, and the cleaned corpus contains NO >= window-token
+    cross-document repeat any more (re-running detection on clean_text
+    finds nothing)."""
+    shared = " ".join(f"s{i}" for i in range(30))
+    docs = [
+        ("a", " ".join(f"a{i}" for i in range(25)) + " " + shared),
+        ("b", shared + " " + " ".join(f"b{i}" for i in range(40))),
+        ("c", " ".join(f"c{i}" for i in range(60))),
+    ]
+    W = 20
+    df = spark.createDataFrame(docs, "url string, text string")
+    cleaned, dropped = dedup.dedup_repeated_substrings(df, window=W)
+    got = {r.url: r for r in cleaned.collect()}
+    assert dropped.count() == 0
+    # doc a: tokens [25, 55) cut -> the a-prefix survives
+    assert got["a"].clean_text == " ".join(f"a{i}" for i in range(25))
+    assert got["a"].n_removed_tokens == 30
+    # doc b: tokens [0, 30) cut -> the b-suffix survives
+    assert got["b"].clean_text == " ".join(f"b{i}" for i in range(40))
+    assert got["b"].n_removed_tokens == 30
+    # doc c: untouched, zero removed
+    assert got["c"].clean_text == docs[2][1]
+    assert got["c"].n_removed_tokens == 0
+    # the curation postcondition: no cross-doc repeat survives
+    clean_df = cleaned.select("url", F.col("clean_text").alias("text"))
+    assert dedup.duplicated_spans(clean_df, window=W).collect() == []
+
+
+def test_remove_duplicated_spans_randomized_postcondition(spark):
+    """Randomized corpora with planted shared runs: after removal, NO
+    >= window-token cross-document repeat remains, and untouched docs
+    roundtrip byte-identically."""
+    import random
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(400)]
+    runs = [" ".join(rng.choice(vocab) for _ in range(L)) for L in (24, 31)]
+    docs = []
+    for d in range(14):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(30, 80))]
+        text = " ".join(toks)
+        if d % 3 != 2:
+            run = runs[d % len(runs)]
+            cut = rng.randint(0, len(toks))
+            text = " ".join(toks[:cut] + [run] + toks[cut:])
+        docs.append((f"d{d}", text))
+    W = 20
+    df = spark.createDataFrame(docs, "url string, text string")
+    cleaned, _ = dedup.dedup_repeated_substrings(df, window=W, max_postings=1000)
+    rows = {r.url: r for r in cleaned.collect()}
+    spans = _ref_duplicated_spans(docs, W, 2)
+    for did, text in docs:
+        if did not in spans:
+            assert rows[did].clean_text == text
+            assert rows[did].n_removed_tokens == 0
+        else:
+            toks = text.split(" ")
+            cut = {
+                i for a, b, _n in spans[did] for i in range(a, b)
+            }
+            expect = " ".join(t for i, t in enumerate(toks) if i not in cut)
+            assert rows[did].clean_text == expect
+    clean_df = cleaned.select("url", F.col("clean_text").alias("text"))
+    assert (
+        dedup.duplicated_spans(clean_df, window=W, max_postings=1000).collect()
+        == []
+    )
 
 
 def test_duplicated_spans_randomized(spark):

@@ -14,9 +14,9 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry
 
 ROWS_ONLY = {
-    "ann_lsh_topk",
-    "ann_ivf_topk",
+    "ann_lsh_ivf_topk",
     "multimodal_decode_features",
+    "warc_roundtrip",
 }
 
 
