@@ -183,6 +183,125 @@ def _iter_warc_records(stream: io.BufferedIOBase) -> Iterator[dict]:
         yield {"headers": headers, "payload": payload}
 
 
+def _iter_member_chunks(raw) -> Iterator[tuple[int, bytes]]:
+    """(member_index, decompressed_chunk) pieces of a concatenated-member
+    gzip stream, with chunk boundaries ALIGNED to member boundaries (a
+    chunk never spans two members) — the framing the record-level resync
+    below needs. Uses zlib.decompressobj per member (unused_data marks
+    the boundary exactly; no magic-byte scanning, which can false-match
+    inside compressed data). zlib errors propagate: corrupt COMPRESSED
+    bytes have no reliably findable next boundary, so that tier stays a
+    file-level poison row. A truncated final member yields whatever
+    decompressed cleanly; the record parser reports the truncation."""
+    import zlib
+
+    d = zlib.decompressobj(31)  # wbits=31: gzip wrapper
+    idx = 0
+    data = b""
+    while True:
+        if not data:
+            data = raw.read(65536)
+            if not data:
+                return
+        out = d.decompress(data)
+        data = b""
+        if out:
+            yield idx, out
+        if d.eof:
+            data = d.unused_data
+            d = zlib.decompressobj(31)
+            idx += 1
+
+
+def _iter_warc_records_resync(
+    chunks: Iterator[tuple[int, bytes]],
+) -> Iterator[tuple[str, dict | str]]:
+    """Parse WARC records from member-aligned chunks, yielding
+    ("ok", record) or ("err", message). A record-level parse failure
+    poisons only the CURRENT gzip member: buffered bytes are dropped and
+    parsing resumes at the next member boundary — with Common Crawl's
+    one-record-per-member framing exactly the bad record is lost, not
+    the remainder of a 1 GB segment (the round-4 advice finding)."""
+    buf = b""
+    cur = 0  # member index of the newest byte in buf
+    done = False
+
+    def pull() -> bool:
+        nonlocal buf, cur, done
+        try:
+            idx, c = next(chunks)
+        except StopIteration:
+            done = True
+            return False
+        cur = idx
+        buf += c
+        return True
+
+    while True:
+        try:
+            # one record, same framing rules as the plain-stream parser
+            while True:
+                buf = buf.lstrip(b"\r\n")
+                if buf:
+                    break
+                if not pull():
+                    return
+            while _CRLF2 not in buf:
+                if not pull():
+                    raise ValueError("truncated WARC header block")
+            head, buf = buf.split(_CRLF2, 1)
+            lines = head.split(b"\r\n")
+            if not lines[0].startswith(b"WARC/"):
+                raise ValueError(f"bad WARC version line {lines[0][:40]!r}")
+            headers = {}
+            for line in lines[1:]:
+                k, _, v = line.partition(b":")
+                headers[k.strip().lower().decode()] = v.strip().decode(
+                    "utf-8", "replace"
+                )
+            length = int(headers["content-length"])
+            if length < 0:
+                raise ValueError(f"negative WARC Content-Length {length}")
+            while len(buf) < length + 4:  # payload + trailing CRLFCRLF
+                if not pull():
+                    raise ValueError("truncated WARC payload")
+            payload, buf = buf[:length], buf[length:]
+            yield "ok", {"headers": headers, "payload": payload}
+        except (ValueError, KeyError) as e:
+            poisoned = cur
+            buf = b""
+            # drop the rest of the poisoned member, resume at the next
+            while not done:
+                try:
+                    idx, c = next(chunks)
+                except StopIteration:
+                    done = True
+                    break
+                if idx > poisoned:
+                    cur, buf = idx, c
+                    break
+            where = (
+                f"resumed at gzip member {cur}"
+                if buf
+                else "no further members"
+            )
+            yield "err", f"{type(e).__name__}: {e} ({where})"
+            if done and not buf:
+                return
+
+
+def _plain_record_events(stream) -> Iterator[tuple[str, dict | str]]:
+    """The uncompressed-.warc event stream: no member boundaries exist
+    to resync at, so a poison record skips the REMAINDER of the file —
+    stated in the error row, with the caller appending how many records
+    parsed before it."""
+    try:
+        for rec in _iter_warc_records(stream):
+            yield "ok", rec
+    except Exception as e:  # noqa: BLE001 — converted to a poison row
+        yield "err", f"{type(e).__name__}: {e} (remainder of file skipped)"
+
+
 def _parse_http_payload(payload: bytes) -> tuple[int | None, bytes]:
     """Split an application/http payload into (status, body)."""
     if _CRLF2 in payload:
@@ -209,7 +328,13 @@ def read_warc(
     task streams one file — the natural WARC granularity (the format is
     not mid-file splittable; Common Crawl parallelism is across its
     thousands of ~1 GB segment files). A corrupt record or file yields
-    a parse_error row, never a dead stage.
+    a parse_error row, never a dead stage — and in per-record-gzip
+    files (Common Crawl's framing) a poison record costs only its own
+    gzip member: parsing RESUMES at the next member boundary, with the
+    error row recording how many records parsed before it. Uncompressed
+    .warc files have no boundary to resync at; there the remainder of
+    the file is skipped, which the error row states explicitly.
+    Writer leftovers ('*.inprogress-*') are never picked up.
     """
     from pyarrow import fs as pafs
 
@@ -218,10 +343,17 @@ def read_warc(
         info = fs.get_file_info(root)
         if info.type == pafs.FileType.Directory:
             sel = pafs.FileSelector(root, recursive=True)
+            # COMMITTED segments only: a '.warc' substring match would
+            # also pick up 'part-N.warc.gz.inprogress-<attempt>' leftovers
+            # of a killed writer attempt (write_warc commits by rename,
+            # so an .inprogress twin of a committed segment means
+            # duplicate + truncated rows on re-ingest)
             file_list = sorted(
                 f.path if "://" not in paths else f"{paths.split('://')[0]}://{f.path}"
                 for f in fs.get_file_info(sel)
-                if f.is_file and ".warc" in f.base_name
+                if f.is_file
+                and f.base_name.endswith((".warc", ".warc.gz"))
+                and ".inprogress" not in f.base_name
             )
         else:
             file_list = [paths]
@@ -289,18 +421,23 @@ def _read_one_file(fpath: str, keep: set[str]) -> Iterator[pd.DataFrame]:
         cols["html"].append(html)
         cols["parse_error"].append(parse_error)
 
+    n_parsed = 0
     try:
         fs, p = _resolve_fs(fpath)
         # compression=None: keep pyarrow's extension-triggered gzip layer
         # out of the way — member decompression is explicit below
         with fs.open_input_stream(p, compression=None) as raw:
-            stream: io.BufferedIOBase
             if fpath.endswith(".gz"):
-                # stdlib gzip iterates concatenated members transparently
-                stream = gzip.GzipFile(fileobj=raw)  # type: ignore[arg-type]
+                # member-aware decompression: a poison RECORD costs one
+                # gzip member, not the rest of the file
+                events = _iter_warc_records_resync(_iter_member_chunks(raw))
             else:
-                stream = raw  # type: ignore[assignment]
-            for rec in _iter_warc_records(stream):
+                events = _plain_record_events(raw)  # type: ignore[assignment]
+            for status_tag, rec in events:
+                if status_tag == "err":
+                    emit(parse_error=f"{rec} [records_read={n_parsed}]")
+                    continue
+                n_parsed += 1
                 h = rec["headers"]
                 wtype = h.get("warc-type", "")
                 if keep and wtype not in keep:
@@ -325,7 +462,9 @@ def _read_one_file(fpath: str, keep: set[str]) -> Iterator[pd.DataFrame]:
                     yield _flush_cols(cols, fpath)
                     cols, pending = _empty_cols(), 0
     except Exception as e:  # noqa: BLE001 — per-file poison channel
-        emit(parse_error=f"{type(e).__name__}: {e}")
+        # the tier with no resync point: open failures and corrupt
+        # COMPRESSED bytes (zlib errors have no findable next boundary)
+        emit(parse_error=f"{type(e).__name__}: {e} [records_read={n_parsed}]")
     if cols["url"]:
         yield _flush_cols(cols, fpath)
 
@@ -424,6 +563,25 @@ def write_warc(
         if stream is not None:
             stream.close()
             wfs.move(wtmp, _resolve_fs(seg)[1])
+            # best-effort sweep of STALE .inprogress twins for THIS
+            # segment (a previously killed attempt dies between write
+            # and cleanup — Python-level except never runs). read_warc
+            # ignores them regardless; this keeps the directory clean.
+            from pyarrow import fs as pafs
+
+            seg_base = seg.rsplit("/", 1)[-1]
+            try:
+                for fi in wfs.get_file_info(
+                    pafs.FileSelector(_resolve_fs(path)[1], recursive=False)
+                ):
+                    if (
+                        fi.is_file
+                        and fi.base_name.startswith(f"{seg_base}.inprogress-")
+                        and fi.path != wtmp
+                    ):
+                        wfs.delete_file(fi.path)
+            except OSError:
+                pass  # cleanup is advisory; the commit already landed
         if n or skipped:
             yield pd.DataFrame(
                 {"segment": [seg], "n_records": [n], "n_skipped": [skipped]}

@@ -96,6 +96,84 @@ def test_warc_poison_file_channels_error(spark, tmp_path):
     assert bad[0].source_file.endswith("bad.warc.gz")
 
 
+def test_warc_poison_member_resyncs_at_next_member(spark, tmp_path):
+    """A poison RECORD inside a per-record-gzip segment costs only its
+    own member: records after it are parsed (round-4 advice — the old
+    parser silently dropped the remainder of the file), and the error
+    row carries the records-read count."""
+    recs = _records(6, "r.example")
+    good = [warc._record_bytes(r, gzip_per_record=True) for r in recs]
+    # a structurally broken WARC record (bad version line) as its OWN
+    # valid gzip member, spliced between members 2 and 3
+    poison = gzip.compress(b"GARBAGE/9.9\r\nNot-A-Header\r\n\r\nxx\r\n\r\n")
+    blob = b"".join(good[:3]) + poison + b"".join(good[3:])
+    (tmp_path / "seg.warc.gz").write_bytes(blob)
+    out = warc.read_warc(spark, str(tmp_path)).collect()
+    ok = [r for r in out if r.parse_error is None]
+    err = [r for r in out if r.parse_error is not None]
+    assert {r.url for r in ok} == {r["url"] for r in recs}  # ALL 6 survive
+    assert len(err) == 1
+    assert "bad WARC version line" in err[0].parse_error
+    assert "resumed at gzip member" in err[0].parse_error
+    assert "[records_read=3]" in err[0].parse_error
+
+
+def test_warc_truncated_final_member_keeps_prefix(spark, tmp_path):
+    """A segment truncated mid-record (killed upload) yields every
+    complete record plus one error row stating the count."""
+    recs = _records(4, "t.example")
+    good = [warc._record_bytes(r, gzip_per_record=True) for r in recs]
+    # truncate the LAST member's compressed bytes mid-stream
+    blob = b"".join(good[:3]) + good[3][: len(good[3]) // 2]
+    (tmp_path / "seg.warc.gz").write_bytes(blob)
+    out = warc.read_warc(spark, str(tmp_path)).collect()
+    ok = [r for r in out if r.parse_error is None]
+    err = [r for r in out if r.parse_error is not None]
+    assert {r.url for r in ok} == {r["url"] for r in recs[:3]}
+    assert len(err) == 1 and "[records_read=3]" in err[0].parse_error
+
+
+def test_warc_read_ignores_inprogress_leftovers(spark, tmp_path):
+    """Stale '.inprogress-<attempt>' twins of a committed segment (a
+    killed writer attempt) must NOT be re-ingested: they would yield
+    duplicate and/or truncated-poison rows."""
+    recs = _records(5, "s.example")
+    warc.write_warc_file(str(tmp_path / "part-00000.warc.gz"), recs)
+    committed = (tmp_path / "part-00000.warc.gz").read_bytes()
+    (tmp_path / "part-00000.warc.gz.inprogress-42").write_bytes(
+        committed[: len(committed) // 2]
+    )
+    out = warc.read_warc(spark, str(tmp_path)).collect()
+    assert len(out) == 5
+    assert all(r.parse_error is None for r in out)
+    assert len({r.url for r in out}) == 5  # no duplicates
+
+
+def test_warc_write_sweeps_stale_inprogress(spark, tmp_path):
+    """write_warc removes a stale .inprogress twin of its segment when
+    it commits (the Python-level cleanup never ran for a killed JVM)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    stale = out_dir / "part-00000.warc.gz.inprogress-99999"
+    stale.write_bytes(b"\x1f\x8b truncated leftover")
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [f"https://w.example/{i}" for i in range(4)],
+                "warc_ts": pd.to_datetime(["2026-02-01T00:00:00"] * 4),
+                "html": [b"<html>%d</html>" % i for i in range(4)],
+            }
+        )
+    ).withColumn("html", F.col("html").cast("binary"))
+    res = warc.write_warc(df.repartition(1), str(out_dir)).collect()
+    assert len(res) == 1 and res[0].n_records == 4
+    names = {p.name for p in out_dir.iterdir()}
+    assert names == {"part-00000.warc.gz"}, names  # stale twin swept
+
+
 def test_warc_documents_feeds_extraction(spark, tmp_path):
     """End to end: WARC -> input-table shape -> byte-identical extract."""
     from entity_linking_spark.operators.extract import extract_text, with_extracted_text
