@@ -217,22 +217,26 @@ def encode_png_media(
     for y in range(height):
         cur = pixels[y].astype(np.int32)
         ftype = y % 5
-        filt = cur.copy()
-        for x in range(filt.size):
-            a = cur[x - bpp] if x >= bpp else 0  # left (reconstructed)
-            b = prev[x]  # up
-            c = prev[x - bpp] if x >= bpp else 0  # up-left
-            if ftype == 1:
-                filt[x] = (cur[x] - a) & 0xFF
-            elif ftype == 2:
-                filt[x] = (cur[x] - b) & 0xFF
-            elif ftype == 3:
-                filt[x] = (cur[x] - ((a + b) >> 1)) & 0xFF
-            elif ftype == 4:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                filt[x] = (cur[x] - pred) & 0xFF
+        # ENCODING filters read only RAW bytes of this and the prior
+        # scanline (lossless: raw == reconstructed), so every filter is
+        # a pure shift-and-subtract — one numpy expression per row, no
+        # per-byte Python (the round-4 review finding)
+        a = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])  # left
+        b = prev  # up
+        c = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])  # up-left
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = (cur - a) & 0xFF
+        elif ftype == 2:
+            filt = (cur - b) & 0xFF
+        elif ftype == 3:
+            filt = (cur - ((a + b) >> 1)) & 0xFF
+        else:  # Paeth predictor, vectorized over the row
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+            filt = (cur - pred) & 0xFF
         raw.append(ftype)
         raw += filt.astype(np.uint8).tobytes()
         prev = cur
@@ -303,23 +307,38 @@ def _decode_png(payload: bytes) -> np.ndarray:
             cur = (np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF).reshape(-1)
         elif ftype == 2:  # Up
             cur = (cur + prev) & 0xFF
-        elif ftype == 3:  # Average — sequential along x by definition
-            # (each byte needs the RECONSTRUCTED left neighbor); Paeth
-            # likewise. Python-loop cost is bounded by the stride; huge
-            # images belong to a codec library, which this container
-            # lacks — the stub in _require_codec covers that tier.
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (cur[x] + pred) & 0xFF
+        elif ftype == 3:  # Average — the recurrence is inherently
+            # sequential along x (each byte needs the RECONSTRUCTED left
+            # neighbor through a floor-divide, so no prefix-sum identity
+            # exists as it does for Sub); iterate per PIXEL with the
+            # channel lanes vectorized — width iterations, not
+            # width*channels (Python-loop cost bounded by the pixel
+            # count; huge images belong to a codec library, which this
+            # container lacks — the _require_codec stub covers that tier)
+            lanes = cur.reshape(-1, bpp)
+            plv = prev.reshape(-1, bpp)
+            left = np.zeros(bpp, dtype=np.int32)
+            for i in range(lanes.shape[0]):
+                left = (lanes[i] + ((left + plv[i]) >> 1)) & 0xFF
+                lanes[i] = left
+            cur = lanes.reshape(-1)
+        elif ftype == 4:  # Paeth — same inherent left-neighbor data
+            # dependence; per-pixel loop, channels vectorized
+            lanes = cur.reshape(-1, bpp)
+            plv = prev.reshape(-1, bpp)
+            left = np.zeros(bpp, dtype=np.int32)
+            upleft = np.zeros(bpp, dtype=np.int32)
+            for i in range(lanes.shape[0]):
+                b = plv[i]
+                p = left + b - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - b), np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, b, upleft)
+                )
+                left = (lanes[i] + pred) & 0xFF
+                lanes[i] = left
+                upleft = b
+            cur = lanes.reshape(-1)
         elif ftype != 0:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = cur.astype(np.uint8)
@@ -347,7 +366,11 @@ def decode_media(payload: bytes, kind: str, codec: str = "fake") -> np.ndarray:
     if payload is None:
         raise ValueError("null payload")
     if codec == "auto":
-        if payload[:4] == b"RIFF":
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            # RIFF is a container family: WebP/AVI share the magic, so
+            # the form type must be sniffed too — a RIFF/WEBP payload
+            # falls through to the honest unrecognized-container error
+            # instead of a misleading wave-parse failure
             codec = "wav"
         elif payload[:2] == b"BM":
             codec = "bmp"
@@ -355,6 +378,11 @@ def decode_media(payload: bytes, kind: str, codec: str = "fake") -> np.ndarray:
             codec = "png"
         elif payload.startswith(FAKE_MAGIC):
             codec = "fake"
+        elif payload[:4] == b"RIFF":
+            raise ValueError(
+                f"RIFF container with form type {payload[8:12]!r} needs a "
+                "codec library (only RIFF/WAVE decodes without one)"
+            )
         else:
             raise ValueError(
                 f"unrecognized media container (first bytes {payload[:4]!r})"

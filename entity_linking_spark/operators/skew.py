@@ -22,6 +22,22 @@ from pyspark.sql import DataFrame, functions as F
 
 DEFAULT_SALT = 8
 
+# the salted-join construction is output-identical to the plain join
+# only when every BUILD-side replica a probe row can't hash to is
+# droppable: with how='right'/'full' a hot build key whose n_salts
+# replicas include salts no probe row lands on would emit one spurious
+# unmatched row per uncovered salt
+_SALTED_JOIN_MODES = ("inner", "left", "left_semi", "left_anti", "semi", "anti")
+
+
+def _check_join_mode(how: str) -> None:
+    if how.replace("outer", "").strip("_") not in _SALTED_JOIN_MODES:
+        raise ValueError(
+            f"salted joins support how in {_SALTED_JOIN_MODES}, got {how!r}: "
+            "right/full joins would emit spurious unmatched build-side "
+            "rows for uncovered salt replicas"
+        )
+
 
 def with_salt(
     df: DataFrame, cols: list[str], n_salts: int = DEFAULT_SALT, out: str = "_salt"
@@ -57,6 +73,7 @@ def salted_join(
     side has hot keys (a viral page appearing in millions of candidate
     pairs).
     """
+    _check_join_mode(how)
     keys = [key] if isinstance(key, str) else list(key)
     lg = with_salt(large, salt_cols, n_salts)
     sm = replicate(small, n_salts)
@@ -116,6 +133,7 @@ def adaptive_salted_join(
     the unsalted join (pytest-pinned), one plan, no union of split
     branches, and the hot key's rows land in n_salts reduce partitions
     instead of one."""
+    _check_join_mode(how)
     keys = [key] if isinstance(key, str) else list(key)
     base_hot = hot_keys_df if hot_keys_df is not None else hot_keys(large, keys, hot_threshold)
     hot = F.broadcast(base_hot.withColumn("_hot", F.lit(True)))
@@ -141,13 +159,9 @@ def adaptive_salted_join(
     return lg.join(sm.hint("shuffle_hash"), [*keys, "_salt"], how).drop("_salt")
 
 
-def salted_repartition(
-    df: DataFrame, key: str, n_partitions: int, n_salts: int = DEFAULT_SALT
-) -> DataFrame:
-    """Repartition by (key, salt) so one hot key spreads over n_salts
-    partitions — the pre-shuffle for any downstream per-key processing
-    that tolerates split groups (e.g. partial aggregation)."""
-    salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
-    )
-    return salted.repartition(n_partitions, F.col(key), F.col("_salt")).drop("_salt")
+# (salted_repartition was removed in round 5: it was unused by the
+# pipeline and its monotonically_increasing_id salt made PARTITIONING
+# vary across reruns, contradicting this module's never-rand()
+# determinism contract. The supported spread-a-hot-key paths are
+# with_salt + repartition on (key, _salt) — deterministic, derived from
+# row content — or the salted joins above.)

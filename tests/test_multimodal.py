@@ -208,6 +208,21 @@ def test_auto_codec_routes_by_magic_bytes(spark):
     assert out["e"].features is None and "unrecognized" in out["e"].decode_error
 
 
+def test_auto_codec_riff_needs_wave_form_type():
+    """RIFF is a container FAMILY: a RIFF/WEBP payload must not be fed
+    to the wave parser (round-4 advice — it produced a misleading
+    wave-parse error); it gets the honest needs-a-codec-library message,
+    while RIFF/WAVE still routes to the real decoder."""
+    import pytest
+
+    webp = b"RIFF" + (1000).to_bytes(4, "little") + b"WEBPVP8 " + b"\x00" * 64
+    with pytest.raises(ValueError, match="WEBP.*codec library"):
+        mm.decode_media(webp, "image", codec="auto")
+    avi = b"RIFF" + (1000).to_bytes(4, "little") + b"AVI " + b"\x00" * 64
+    with pytest.raises(ValueError, match="codec library"):
+        mm.decode_media(avi, "video", codec="auto")
+
+
 def test_png_roundtrip_property(spark):
     """Hypothesis: any (width, height, color_type, seed) roundtrips
     byte-exactly through encode -> decode, covering every filter-type

@@ -44,11 +44,40 @@ def test_salted_join_left(spark):
     assert out.where("label IS NULL").count() == 900  # hot rows unmatched
 
 
-def test_salted_repartition_spreads(spark):
+def test_deterministic_salted_repartition_spreads(spark):
+    """The supported hot-key spread path (salted_repartition was removed
+    in round 5 — its monotonically_increasing_id salt varied across
+    reruns): with_salt derives the salt from row content, so the same
+    input always lands the same way AND the hot key splits."""
     large, _ = _skewed(spark)
-    rep = skew.salted_repartition(large, "key", n_partitions=8)
+    rep = skew.with_salt(large, ["other"], n_salts=8).repartition(
+        8, F.col("key"), F.col("_salt")
+    )
     sizes = rep.groupBy(F.spark_partition_id().alias("p")).count().collect()
     assert max(r["count"] for r in sizes) < 900  # hot key split across partitions
+    salts_a = [r["_salt"] for r in rep.orderBy("key", "other").collect()]
+    salts_b = [
+        r["_salt"]
+        for r in skew.with_salt(large, ["other"], n_salts=8)
+        .orderBy("key", "other")
+        .collect()
+    ]
+    assert salts_a == salts_b  # byte-identical across reruns
+
+
+def test_salted_joins_reject_right_and_full(spark):
+    """how='right'/'full' would emit spurious unmatched build-side rows
+    for uncovered salt replicas (round-4 advice): both joins refuse."""
+    import pytest
+
+    large, small = _skewed(spark)
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted joins support"):
+            skew.salted_join(large, small, "key", salt_cols=["other"], how=how)
+        with pytest.raises(ValueError, match="salted joins support"):
+            skew.adaptive_salted_join(
+                large, small, "key", salt_cols=["other"], how=how
+            )
 
 
 def test_adaptive_salted_join_equals_plain(spark):
