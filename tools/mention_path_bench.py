@@ -92,12 +92,23 @@ def main() -> None:
         out["trie_seconds"] = round(time.time() - t0, 2)
         out["trie_collect_seconds"] = round(t_collect, 2)
 
-    # --- join arm: no collect anywhere
+    # --- join arm: no collect anywhere. Counting via a partition-size
+    # aggregate gives the max reduce-partition row count in the SAME
+    # job (the skew signal the round-4 verdict asked to pin at the 10M
+    # decade) for the price of one extra tiny shuffle of <= n_partitions
+    # rows.
     t0 = time.time()
     m_join = blocking.detect_mentions_join(docs, aliases, tokens_col="tokens")
-    n_join = m_join.count()
+    sizes = (
+        m_join.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    n_join = sum(r["count"] for r in sizes)
     out["join_seconds"] = round(time.time() - t0, 2)
     out["n_mentions"] = n_join
+    out["n_output_partitions"] = len(sizes)
+    out["max_partition_rows"] = max((r["count"] for r in sizes), default=0)
 
     if not join_only:
         # --- identity check (untimed)
