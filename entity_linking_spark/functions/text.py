@@ -252,6 +252,41 @@ def _all_window_hashes(t: str, window: int, mul: int = _POLY_MUL) -> np.ndarray:
     return (H[b] - H[a] * pw[b - a]) % _POLY_MOD
 
 
+def _all_window_hashes_multi(
+    t: str, window: int, muls: tuple[int, ...]
+) -> list[np.ndarray]:
+    """_all_window_hashes under SEVERAL multipliers in one pass: the
+    mul-independent work (lowering, token split, utf-32 codepoint
+    decode, token char-start offsets) is done once and shared — the
+    combined-key consumers (operators/dedup.window_hash_positions) pay
+    ~1.4x a single pass instead of 2x. Exact-equal to per-mul calls
+    (property-tested)."""
+    s = t.lower()
+    toks = s.split(" ")
+    n_toks = len(toks)
+    nc = len(s)
+    if n_toks <= window:
+        return [np.array([_poly_hash(s, m)], dtype=np.int64) for m in muls]
+    cps = np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+    lens = np.fromiter((len(x) for x in toks), dtype=np.int64, count=n_toks)
+    starts = np.empty(n_toks + 1, dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(lens + 1, out=starts[1:])
+    a = starts[: n_toks - window + 1]
+    b = starts[window:] - 1
+    out = []
+    for mul in muls:
+        pw = _pow_array(mul, nc + 1)
+        inv = _pow_array(pow(mul, _POLY_MOD - 2, _POLY_MOD), nc)
+        terms = (cps * inv) % _POLY_MOD
+        prefix = np.cumsum(terms) % _POLY_MOD
+        H = np.empty(nc + 1, dtype=np.int64)
+        H[0] = 0
+        H[1:] = prefix * pw[:nc] % _POLY_MOD
+        out.append((H[b] - H[a] * pw[b - a]) % _POLY_MOD)
+    return out
+
+
 def _window_min_hash(t: str) -> int:
     """Min polynomial hash over all W-token windows (winnowing-style
     fingerprint) — the min of _all_window_hashes."""

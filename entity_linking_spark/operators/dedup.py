@@ -332,7 +332,10 @@ def window_hash_positions(
 
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
-    from entity_linking_spark.functions.text import _POLY_MUL, _all_window_hashes
+    from entity_linking_spark.functions.text import (
+        _POLY_MUL,
+        _all_window_hashes_multi,
+    )
 
     out_schema = StructType(
         [
@@ -351,8 +354,9 @@ def window_hash_positions(
             for did, text in zip(pdf["id"], pdf[text_col]):
                 if text is None:
                     continue
-                h31 = _all_window_hashes(text, window, _POLY_MUL)
-                h131 = _all_window_hashes(text, window, _WHASH_MUL2)
+                h31, h131 = _all_window_hashes_multi(
+                    text, window, (_POLY_MUL, _WHASH_MUL2)
+                )
                 vals = h31 * _WHASH_P + h131
                 # single-space-split token count without a second split:
                 # len(s.split(' ')) == s.count(' ') + 1 by definition
@@ -416,6 +420,14 @@ def duplicated_spans(
         F.countDistinct("id").alias("n_docs"),
         F.count("*").alias("n_postings"),
     ).where(F.col("n_docs") >= min_docs)
+    if return_dropped:
+        # spans and dropped are consumed as SEPARATE actions; without a
+        # cache the second action would replay the whole posting
+        # aggregate (hash pass included). key_stats holds only the
+        # DUPLICATED keys — orders of magnitude smaller than the posting
+        # table, which is never cached (at 10^12 windows caching
+        # postings would be the bug).
+        key_stats = key_stats.persist()
     dup_keys = key_stats.where(F.col("n_postings") <= max_postings).select("whash")
     dup = wh.join(dup_keys, "whash", "left_semi")
     # gaps-and-islands: a new island starts where this window neither

@@ -206,6 +206,40 @@ def test_pow_array_exact_and_stateless():
     assert leaked == []
 
 
+def test_multi_hash_pass_equals_per_mul_calls():
+    """_all_window_hashes_multi (shared-decode fused pass) must be
+    exact-equal to independent _all_window_hashes calls per multiplier,
+    including the short-doc scalar path."""
+    import random
+
+    import numpy as np
+
+    from entity_linking_spark.functions.text import (
+        _all_window_hashes,
+        _all_window_hashes_multi,
+    )
+
+    rng = random.Random(5)
+    cases = ["", "one", "Ünïcødé tøkens 漢字 in a stream of text tokens here"]
+    for _ in range(60):
+        n = rng.randint(0, 40)
+        cases.append(
+            " ".join(
+                "".join(rng.choices("abcdefé漢.,", k=rng.randint(0, 6)))
+                for _ in range(n)
+            )
+        )
+    for c in cases:
+        for w in (3, 8, 20):
+            multi = _all_window_hashes_multi(c, w, (31, 131))
+            for mul, got in zip((31, 131), multi):
+                assert np.array_equal(got, _all_window_hashes(c, w, mul)), (
+                    repr(c),
+                    w,
+                    mul,
+                )
+
+
 def test_window_hashes_multi_mb_multitoken_doc():
     """A multi-MB MULTI-token doc (the round-4 guard only covered the
     single-token case) takes the vectorized path, stays exact vs the
