@@ -385,6 +385,7 @@ def duplicated_spans(
     min_docs: int = 2,
     max_postings: int = 256,
     return_dropped: bool = False,
+    keep_first: bool = False,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Cross-document repeated-substring detection (the ExactSubstr-style
     dedup of the public training-data literature — Lee et al. 2022,
@@ -412,14 +413,32 @@ def duplicated_spans(
     or persist it next to the spans (dedup_repeated_substrings and the
     gate row do). span_end is clamped to the document's token count
     (whole-doc windows on short docs would otherwise overshoot,
-    corrupting any consumer that slices tokens by these bounds)."""
+    corrupting any consumer that slices tokens by these bounds).
+
+    ``keep_first=True`` switches to the keep-one policy: each duplicated
+    window's posting in the LOWEST document id (its "keeper") is exempt,
+    so a window's content survives in one document instead of vanishing
+    corpus-wide. Exemption is per POSTING: a position is cut when any
+    NON-exempt duplicated window covers it, so a doc that is keeper for
+    one window and mere carrier for an overlapping one can still have
+    the overlap trimmed — the same byte-range imprecision the public
+    ExactSubstr implementation accepts; in the common non-overlapping
+    case exactly one copy per duplicated run survives. Costs one extra
+    min(id) column through the same aggregate, no extra shuffle (the
+    semi-join becomes an inner join on the identical key). Default
+    False mirrors deduplicate-text-datasets: cut all occurrences."""
     from pyspark.sql import Window
 
     wh = window_hash_positions(df, text_col, id_col, window)
-    key_stats = wh.groupBy("whash").agg(
+    key_aggs = [
         F.countDistinct("id").alias("n_docs"),
         F.count("*").alias("n_postings"),
-    ).where(F.col("n_docs") >= min_docs)
+    ]
+    if keep_first:
+        key_aggs.append(F.min("id").alias("_keeper"))
+    key_stats = wh.groupBy("whash").agg(*key_aggs).where(
+        F.col("n_docs") >= min_docs
+    )
     if return_dropped:
         # spans and dropped are consumed as SEPARATE actions; without a
         # cache the second action would replay the whole posting
@@ -428,8 +447,13 @@ def duplicated_spans(
         # table, which is never cached (at 10^12 windows caching
         # postings would be the bug).
         key_stats = key_stats.persist()
-    dup_keys = key_stats.where(F.col("n_postings") <= max_postings).select("whash")
-    dup = wh.join(dup_keys, "whash", "left_semi")
+    in_cap = key_stats.where(F.col("n_postings") <= max_postings)
+    if keep_first:
+        dup = wh.join(in_cap.select("whash", "_keeper"), "whash").where(
+            F.col("id") != F.col("_keeper")
+        )
+    else:
+        dup = wh.join(in_cap.select("whash"), "whash", "left_semi")
     # gaps-and-islands: a new island starts where this window neither
     # overlaps nor touches any previous duplicated window ([pos,
     # pos+window) spans; touching regions merge into one contiguous span)
@@ -453,7 +477,12 @@ def duplicated_spans(
         .drop("_grp")
     )
     if return_dropped:
-        dropped = key_stats.where(F.col("n_postings") > max_postings)
+        # explicit projection: the keep_first variant carries an extra
+        # _keeper column through key_stats; the dropped contract is
+        # (whash, n_docs, n_postings) either way
+        dropped = key_stats.where(F.col("n_postings") > max_postings).select(
+            "whash", "n_docs", "n_postings"
+        )
         return spans, dropped
     return spans
 
@@ -516,15 +545,16 @@ def dedup_repeated_substrings(
     window: int = 20,
     min_docs: int = 2,
     max_postings: int = 256,
+    keep_first: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Detection + removal composed: the full ExactSubstr curation pass.
 
     Returns (cleaned, dropped): ``cleaned`` is ``df`` + clean_text +
     n_removed_tokens with every cross-document duplicated span cut from
     EVERY document carrying it (the public deduplicate-text-datasets
-    behavior — all occurrences are cut; callers wanting a keep-one
-    policy filter the span table before remove_duplicated_spans);
-    ``dropped`` is the stop-keyed hot-window table (whash, n_docs,
+    behavior) — or, with ``keep_first=True``, from every document except
+    each window's lowest-id keeper, so one copy survives per duplicated
+    run; ``dropped`` is the stop-keyed hot-window table (whash, n_docs,
     n_postings) so the max_postings cap is observable, never silent."""
     spans, dropped = duplicated_spans(
         df,
@@ -534,5 +564,6 @@ def dedup_repeated_substrings(
         min_docs=min_docs,
         max_postings=max_postings,
         return_dropped=True,
+        keep_first=keep_first,
     )
     return remove_duplicated_spans(df, spans, text_col, id_col), dropped

@@ -377,6 +377,92 @@ def test_remove_duplicated_spans_cuts_all_cross_doc_repeats(spark):
     assert dedup.duplicated_spans(clean_df, window=W).collect() == []
 
 
+def test_keep_first_policy_preserves_one_copy(spark):
+    """keep_first=True: the lowest-id doc keeps each duplicated run,
+    every other carrier sheds it, and the cleaned corpus has no
+    cross-doc repeat left (the surviving copy is unique, so min_docs=2
+    never fires on a re-run)."""
+    shared = " ".join(f"s{i}" for i in range(30))
+    docs = [
+        ("a", " ".join(f"a{i}" for i in range(25)) + " " + shared),
+        ("b", shared + " " + " ".join(f"b{i}" for i in range(40))),
+        ("c", shared + " " + " ".join(f"c{i}" for i in range(25))),
+    ]
+    W = 20
+    df = spark.createDataFrame(docs, "url string, text string")
+    cleaned, _ = dedup.dedup_repeated_substrings(df, window=W, keep_first=True)
+    got = {r.url: r for r in cleaned.collect()}
+    # doc a is the keeper (lowest id): untouched
+    assert got["a"].clean_text == docs[0][1]
+    assert got["a"].n_removed_tokens == 0
+    # carriers b and c shed the run
+    assert got["b"].clean_text == " ".join(f"b{i}" for i in range(40))
+    assert got["b"].n_removed_tokens == 30
+    assert got["c"].clean_text == " ".join(f"c{i}" for i in range(25))
+    # the run still exists in the corpus (in a) — keep-one, not erase
+    assert shared in got["a"].clean_text
+    # and no cross-doc repeat survives
+    clean_df = cleaned.select("url", F.col("clean_text").alias("text"))
+    assert dedup.duplicated_spans(clean_df, window=W).collect() == []
+
+
+def test_keep_first_randomized_against_replay(spark):
+    """Randomized keep_first agreement with a from-first-principles
+    replay of the per-posting exemption rule."""
+    import random
+
+    from entity_linking_spark.functions.text import _poly_hash
+    from entity_linking_spark.operators.dedup import _WHASH_MUL2, _WHASH_P
+
+    def h(s):
+        return _poly_hash(s) * _WHASH_P + _poly_hash(s, _WHASH_MUL2)
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(300)]
+    runs = [" ".join(rng.choice(vocab) for _ in range(L)) for L in (25, 33)]
+    docs = []
+    for d in range(12):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(25, 70))]
+        text = " ".join(toks)
+        if d % 4 != 3:
+            run = runs[d % len(runs)]
+            cut = rng.randint(0, len(toks))
+            text = " ".join(toks[:cut] + [run] + toks[cut:])
+        docs.append((f"d{d:02d}", text))
+    W = 20
+    # replay: postings -> keeper per hash -> non-exempt positions -> cut
+    postings = {}
+    per_doc = {}
+    for did, text in docs:
+        toks = text.lower().split(" ")
+        ws = (
+            [(0, h(" ".join(toks)))]
+            if len(toks) <= W
+            else [
+                (i, h(" ".join(toks[i : i + W])))
+                for i in range(len(toks) - W + 1)
+            ]
+        )
+        per_doc[did] = ws
+        for p, hv in ws:
+            postings.setdefault(hv, []).append(did)
+    keeper = {hv: min(ds) for hv, ds in postings.items()}
+    expect = {}
+    for did, text in docs:
+        toks = text.split(" ")
+        cut = set()
+        for p, hv in per_doc[did]:
+            if len(set(postings[hv])) >= 2 and keeper[hv] != did:
+                cut.update(range(p, min(p + W, len(toks))))
+        expect[did] = " ".join(t for i, t in enumerate(toks) if i not in cut)
+    df = spark.createDataFrame(docs, "url string, text string")
+    cleaned, _ = dedup.dedup_repeated_substrings(
+        df, window=W, max_postings=1000, keep_first=True
+    )
+    got = {r.url: r.clean_text for r in cleaned.collect()}
+    assert got == expect
+
+
 def test_remove_duplicated_spans_randomized_postcondition(spark):
     """Randomized corpora with planted shared runs: after removal, NO
     >= window-token cross-document repeat remains, and untouched docs
