@@ -29,7 +29,13 @@ F9 + F13 -> merged into the f7 scalar chain (round 5, freeing the slot
 that now holds the oracle-backed duplicated_span_removal: ExactSubstr
 detection + span removal with a full DuckDB hash/islands/slice twin);
 ann_lsh_topk + ann_ivf_topk -> ann_lsh_ivf_topk (round 5, freeing a
-rows-only slot for the warc_roundtrip container check).
+rows-only slot for the warc_roundtrip container check);
+P3 + P4 -> p3_p4_token_substring_filter (round 5, tagged union so each
+filter keeps its standalone selectivity; the freed slot holds the
+oracle-backed gopher_repetition_signals quality operator);
+R1 + R2 -> r1_r2_sampling_hash_split (round 5, the hash split now
+labels the sampled pairs; the freed slot holds the oracle-backed
+url_canonicalize_dedup web-crawl operator).
 """
 
 from __future__ import annotations

@@ -48,6 +48,8 @@ def main() -> None:
         "j5_bm25_topk",
         "mention_detect_greedy",
         "duplicated_span_removal",
+        "gopher_repetition_signals",
+        "url_canonicalize_dedup",
     ]
     all_q = Q.all_queries()
     times: dict[str, float] = {}

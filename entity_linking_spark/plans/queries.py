@@ -53,37 +53,33 @@ def all_oracles() -> dict[str, str]:
 # ---------------------------------------------------------------- filters
 
 @query(
-    "p3_min_tokens_filter",
-    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+    "p3_p4_token_substring_filter",
+    """SELECT 'p3' AS which, doc_id, len(string_split(text, ' ')) AS n_tokens
        FROM documents WHERE len(string_split(text, ' ')) >= 60
-       ORDER BY doc_id""",
+       UNION ALL
+       SELECT 'p4' AS which, doc_id, len(string_split(text, ' ')) AS n_tokens
+       FROM documents
+       WHERE NOT (lower(text) LIKE '%vector%' OR lower(text) LIKE '%stream%')
+       ORDER BY which, doc_id""",
 )
-def p3_min_tokens_filter(spark, sf_dir):
-    """P3: drop docs with too few tokens (data_ingestion.py:118-127)."""
+def p3_p4_token_substring_filter(spark, sf_dir):
+    """P3 + P4 merged (round 5, freeing a slot for the oracle-backed
+    gopher_repetition_signals): the min-tokens length gate
+    (data_ingestion.py:118-127) and the disambiguation-page style
+    contains-filter (data_ingestion.py:130-155), tagged and unioned so
+    EACH filter keeps its original standalone selectivity (a
+    conjunction would pass ~1 doc at sf0.01 — too degenerate to gate
+    on). Same pushdown shape per branch: one scan, one Filter."""
     d = _t(spark, sf_dir, "documents")
     n = F.size(F.split(F.col("text"), " "))
-    return (
-        d.select("doc_id", n.alias("n_tokens"))
-        .where(n >= 60)
-        .orderBy("doc_id")
-    )
-
-
-@query(
-    "p4_substring_filter",
-    """SELECT doc_id, lang FROM documents
-       WHERE NOT (lower(text) LIKE '%vector%' OR lower(text) LIKE '%stream%')
-       ORDER BY doc_id""",
-)
-def p4_substring_filter(spark, sf_dir):
-    """P4: disambiguation-page style contains-filter (data_ingestion.py:130-155)."""
-    d = _t(spark, sf_dir, "documents")
     t = F.lower(F.col("text"))
-    return (
-        d.where(~(t.contains("vector") | t.contains("stream")))
-        .select("doc_id", "lang")
-        .orderBy("doc_id")
+    p3 = d.where(n >= 60).select(
+        F.lit("p3").alias("which"), "doc_id", n.alias("n_tokens")
     )
+    p4 = d.where(~(t.contains("vector") | t.contains("stream"))).select(
+        F.lit("p4").alias("which"), "doc_id", n.alias("n_tokens")
+    )
+    return p3.unionAll(p4).orderBy("which", "doc_id")
 
 
 @query(
@@ -567,7 +563,7 @@ def f18_f19_softmax_argmax(spark, sf_dir):
 # ----------------------------------------------- seeded sampling analogs
 
 @query(
-    "r1_negative_sampling",
+    "r1_r2_sampling_hash_split",
     """WITH g AS (SELECT doc_id AS gold_id FROM documents WHERE doc_id < 30),
        c AS (SELECT doc_id AS cand_id FROM documents WHERE doc_id < 100),
        x AS (SELECT gold_id, cand_id,
@@ -576,14 +572,22 @@ def f18_f19_softmax_argmax(spark, sf_dir):
                       ORDER BY md5(CAST(gold_id AS VARCHAR) || '|' || CAST(cand_id AS VARCHAR)),
                                cand_id) AS rn
              FROM g CROSS JOIN c WHERE cand_id <> gold_id)
-       SELECT gold_id, cand_id, rn FROM x WHERE rn <= 2
+       SELECT gold_id, cand_id, rn,
+              CASE WHEN md5(CAST(cand_id AS VARCHAR)) < '8'
+                   THEN 'train' ELSE 'test' END AS split
+       FROM x WHERE rn <= 2
        ORDER BY gold_id, rn""",
 )
-def r1_negative_sampling(spark, sf_dir):
-    """R1: seeded negative sampling — per gold id pick 2 non-gold
-    candidates by deterministic hash order (el_preprocess.py:104-121
-    random.sample with seed=123 -> engine-neutral md5 ordering + a
-    row_number window; same recipe both engines)."""
+def r1_r2_sampling_hash_split(spark, sf_dir):
+    """R1 + R2 merged (round 5, freeing a slot for the oracle-backed
+    url_canonicalize_dedup): seeded negative sampling — per gold id
+    pick 2 non-gold candidates by deterministic hash order
+    (el_preprocess.py:104-121, random.sample seed=123 -> engine-neutral
+    md5 ordering + row_number window) — COMPOSED with the R2
+    deterministic hash split (el_preprocess.py:302-314): each sampled
+    pair lands in train/test by the same md5-threshold rule the
+    standalone r2 row used, so both op families stay fully exercised
+    in one slot."""
     golds = (
         _t(spark, sf_dir, "documents")
         .where(F.col("doc_id") < 30)
@@ -604,34 +608,16 @@ def r1_negative_sampling(spark, sf_dir):
         ),
         "cand_id",
     )
+    split = F.when(
+        F.md5(F.col("cand_id").cast("string")) < "8", F.lit("train")
+    ).otherwise(F.lit("test"))
     return (
         golds.crossJoin(cands)
         .where(F.col("cand_id") != F.col("gold_id"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 2)
-        .select("gold_id", "cand_id", "rn")
+        .select("gold_id", "cand_id", "rn", split.alias("split"))
         .orderBy("gold_id", "rn")
-    )
-
-
-@query(
-    "r2_hash_split",
-    """SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '8' THEN 'train' ELSE 'test' END AS split,
-              count(*) AS n
-       FROM documents GROUP BY 1 ORDER BY split""",
-)
-def r2_hash_split(spark, sf_dir):
-    """R2: deterministic 70/30-style split via hash threshold
-    (el_preprocess.py:302-314, seed=123)."""
-    d = _t(spark, sf_dir, "documents")
-    split = F.when(
-        F.md5(F.col("doc_id").cast("string")) < "8", F.lit("train")
-    ).otherwise(F.lit("test"))
-    return (
-        d.select(split.alias("split"))
-        .groupBy("split")
-        .agg(F.count("*").alias("n"))
-        .orderBy("split")
     )
 
 
@@ -840,6 +826,160 @@ def ngram_jaccard_similarity(spark, sf_dir):
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
         .orderBy("id_a", "id_b")
+    )
+
+
+# Gopher-repetition oracle: replays operators/quality.repetition_signals
+# from first principles — per-doc n-gram counts for the top-n signals,
+# then the duplicated-5-gram token coverage via the same gaps-and-
+# islands window recipe the duplicated_span_removal oracle uses. Full
+# windows only (pos + 5 <= n_tokens by construction), so no clamp.
+_GOPHER_ORACLE = """
+WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS lt FROM documents),
+b AS (SELECT doc_id, len(lt) AS n_tokens, lt FROM tk),
+g2 AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(lt) - 1),
+                                    i -> array_to_string(lt[i:i + 1], ' '))) AS gram
+       FROM b),
+t2 AS (SELECT doc_id, max(c) AS top2_count
+       FROM (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2)
+       GROUP BY doc_id),
+g3 AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(lt) - 2),
+                                    i -> array_to_string(lt[i:i + 2], ' '))) AS gram
+       FROM b),
+t3 AS (SELECT doc_id, max(c) AS top3_count
+       FROM (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2)
+       GROUP BY doc_id),
+g5 AS (SELECT doc_id,
+              unnest(generate_series(1, len(lt) - 4)) - 1 AS pos,
+              unnest(list_transform(generate_series(1, len(lt) - 4),
+                                    i -> array_to_string(lt[i:i + 4], ' '))) AS gram
+       FROM b),
+dk AS (SELECT doc_id, gram FROM g5 GROUP BY 1, 2 HAVING count(*) >= 2),
+dp AS (SELECT g5.doc_id, pos FROM g5 JOIN dk USING (doc_id, gram)),
+isl AS (SELECT doc_id, pos,
+               max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM dp),
+grp AS (SELECT doc_id, pos,
+               sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM isl),
+cov AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS covered
+        FROM (SELECT doc_id, g, min(pos) AS s, max(pos) + 5 AS e
+              FROM grp GROUP BY doc_id, g)
+        GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(t2.top2_count, 0) AS top2_count,
+       coalesce(t3.top3_count, 0) AS top3_count,
+       coalesce(cov.covered, 0) AS dup5_covered_tokens
+FROM b
+LEFT JOIN t2 USING (doc_id)
+LEFT JOIN t3 USING (doc_id)
+LEFT JOIN cov USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@query("gopher_repetition_signals", _GOPHER_ORACLE)
+def gopher_repetition_signals(spark, sf_dir):
+    """Beyond-reference D7: the Gopher repetition-signal family (Rae et
+    al. 2021 Table A1) over the documents table — most-frequent 2-/3-
+    gram occurrence counts and overlap-merged token coverage of
+    within-doc duplicated 5-grams (operators/quality.py). The gate row
+    reports the exact-integer signal columns; the library operator also
+    emits the derived fractions (single divisions, engine-neutral)."""
+    from entity_linking_spark.operators.quality import repetition_signals
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        repetition_signals(d, top_ns=(2, 3), dup_n=5)
+        .select(
+            "doc_id", "n_tokens", "top2_count", "top3_count",
+            "dup5_covered_tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# URL-canonicalization oracle: injects the SAME deterministic messy-URL
+# forge on both sides (the pii_scrub precedent — the corpus carries no
+# URL column, so the fixture is synthesized inside the query), then
+# replays functions/web.canonical_url step by step. Every regexp here
+# is single-match-by-anchor, so Spark's replace-all regexp_replace and
+# DuckDB's replace-first agree by construction.
+_URL_ORACLE = """
+WITH raw AS (SELECT doc_id,
+         'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+         || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+         || '/Path/' || CAST(doc_id % 97 AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+         || '?b=2&utm_source=feed&a=' || CAST(doc_id % 2 AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url
+       FROM documents),
+parts AS (SELECT doc_id,
+         lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS auth0,
+         regexp_replace(regexp_extract(url,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+         regexp_extract(regexp_replace(url, '#.*$', ''), '\\?([^#]*)', 1) AS rawq
+       FROM raw),
+auth AS (SELECT doc_id, scheme, path, rawq,
+         CASE WHEN scheme = 'https'
+                THEN regexp_replace(regexp_replace(auth0, '^www\\.', ''), ':443$', '')
+              WHEN scheme = 'http'
+                THEN regexp_replace(regexp_replace(auth0, '^www\\.', ''), ':80$', '')
+              ELSE regexp_replace(auth0, '^www\\.', '') END AS host
+       FROM parts),
+canon AS (SELECT doc_id,
+         scheme || '://' || host || path ||
+         CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+       FROM (SELECT doc_id, scheme, host, path,
+                    array_to_string(list_sort(list_filter(
+                        string_split(rawq, '&'),
+                        p -> p <> ''
+                             AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+                             AND split_part(p, '=', 1)
+                                 NOT IN ('fbclid', 'gclid', 'msclkid', 'ref')
+                    )), '&') AS q
+             FROM auth))
+SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM canon GROUP BY canonical_url ORDER BY canonical_url
+"""
+
+
+@query("url_canonicalize_dedup", _URL_ORACLE)
+def url_canonicalize_dedup(spark, sf_dir):
+    """Beyond-reference U1: URL canonicalization (RFC 3986 §6 safe
+    subset + crawl conventions — case folding, default ports, www,
+    trailing slash, fragment, tracking params, sorted query) followed
+    by dedup-by-canonical-URL (functions/web.py). Messy URL variants
+    are forged deterministically from doc_id on both sides; the DuckDB
+    twin replays the canonicalization from first principles with the
+    identical RE2-safe regexes."""
+    from entity_linking_spark.functions.web import canonical_url
+
+    s = lambda c: c.cast("string")  # noqa: E731
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"), s(did % 7), F.lit(".COM"),
+        F.when(did % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Path/"), s(did % 97),
+        F.when(did % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?b=2&utm_source=feed&a="), s(did % 2),
+        F.when(did % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return (
+        d.select("doc_id", canonical_url("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("canonical_url")
     )
 
 
