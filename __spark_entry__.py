@@ -35,7 +35,10 @@ filter keeps its standalone selectivity; the freed slot holds the
 oracle-backed gopher_repetition_signals quality operator);
 R1 + R2 -> r1_r2_sampling_hash_split (round 5, the hash split now
 labels the sampled pairs; the freed slot holds the oracle-backed
-url_canonicalize_dedup web-crawl operator).
+url_canonicalize_dedup web-crawl operator);
+a11_num_tokens -> retired into text_analysis_suite, which already
+computed the identical column (round 5; the freed slot holds the
+oracle-backed decontaminate_ngram benchmark-decontamination pass).
 """
 
 from __future__ import annotations

@@ -50,6 +50,7 @@ def main() -> None:
         "duplicated_span_removal",
         "gopher_repetition_signals",
         "url_canonicalize_dedup",
+        "decontaminate_ngram",
     ]
     all_q = Q.all_queries()
     times: dict[str, float] = {}

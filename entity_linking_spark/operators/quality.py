@@ -147,3 +147,83 @@ def repetition_signals(
         (cov / F.col("n_tokens")).alias(f"dup{dup_n}_frac"),
     ]
     return out.select(*cols)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    window: int = 13,
+    mode: str = "flag",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag (or drop) every training document
+    that shares at least one ``window``-token n-gram with the benchmark
+    set — the published curation step of GPT-3 (Brown et al. 2020,
+    13-gram overlap) and Gopher/MassiveText (Rae et al. 2021), here as
+    a relational pass over the window-hash postings that
+    operators/dedup.window_hash_positions already produces.
+
+    Shape at scale: the benchmark side (eval sets — thousands to low
+    millions of windows, ALWAYS tiny next to a training corpus) is
+    hashed, deduplicated, and broadcast; the corpus side is ONE
+    mapInPandas hash pass probed against that broadcast — the training
+    corpus is never shuffled. ``broadcast_benchmark=False`` switches to
+    a shuffle semi-join for the unusual case of a benchmark too large
+    to broadcast. The window key is the combined two-multiplier poly
+    hash (false-positive rate ~5e-7 per window — a stray FP flags one
+    extra doc, it never drops a benchmark hit).
+
+    Docs (or benchmark rows) of <= window tokens emit one whole-doc
+    window, so a short benchmark item only matches documents containing
+    its exact full text as a short doc's full text — the conservative
+    direction for decontamination.
+
+    mode='flag' returns ``docs`` + is_contaminated +
+    n_contaminated_windows; mode='remove' returns only the clean rows
+    (original columns). Lowercasing is inherited from the window
+    hasher's tokenization, matching the dedup operators.
+    """
+    if mode not in ("flag", "remove"):
+        raise ValueError(f"mode must be 'flag' or 'remove', got {mode!r}")
+    from entity_linking_spark.operators.dedup import window_hash_positions
+
+    # the benchmark id is a throwaway (only whash survives); xxhash64 of
+    # the text keeps it deterministic, per the module-wide never-rand rule
+    bench = benchmark.select(
+        F.xxhash64(F.col(bench_text_col or text_col)).alias("_bid"),
+        F.col(bench_text_col or text_col).alias("text"),
+    )
+    bh = (
+        window_hash_positions(bench, "text", "_bid", window)
+        .select("whash")
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bh = F.broadcast(bh)
+    dh = window_hash_positions(docs, text_col, id_col, window)
+    hits = (
+        dh.join(bh, "whash")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_contaminated_windows"))
+    )
+    flagged = (
+        docs.join(
+            hits, docs[id_col].cast("string") == hits["id"], "left"
+        )
+        .drop("id")
+        .withColumn(
+            "n_contaminated_windows",
+            F.coalesce(F.col("n_contaminated_windows"), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "is_contaminated", F.col("n_contaminated_windows") > 0
+        )
+    )
+    if mode == "remove":
+        return flagged.where(~F.col("is_contaminated")).drop(
+            "is_contaminated", "n_contaminated_windows"
+        )
+    return flagged

@@ -319,17 +319,9 @@ def a8_pairwise_f1_counters(spark, sf_dir):
     )
 
 
-@query(
-    "a11_num_tokens",
-    """SELECT doc_id, len(string_split(text, ' ')) AS num_tokens
-       FROM documents ORDER BY doc_id""",
-)
-def a11_num_tokens(spark, sf_dir):
-    """A11: whitespace token count (process_wiki_extractor_output_full.py:71-72)."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.size(F.split(F.col("text"), " ")).alias("num_tokens")
-    ).orderBy("doc_id")
+# (a11_num_tokens retired round 5: text_analysis_suite already computes
+# the identical whitespace num_tokens column — A11 keeps oracle coverage
+# there; the freed slot holds the oracle-backed decontaminate_ngram)
 
 
 @query(
@@ -645,7 +637,9 @@ def dedup_exact_keep_first(spark, sf_dir):
 )
 def text_analysis_suite(spark, sf_dir):
     """Text-analysis suite, one pass per doc (training-data ops +
-    SURVEY A11): whitespace token count (A11,
+    SURVEY A11 — this row is A11's sole gate coverage since round 5
+    retired the duplicate a11_num_tokens slot): whitespace token count
+    (A11,
     process_wiki_extractor_output_full.py:71-72), BPE-ish regex token
     count, avg word length + stopword ratio (quality scoring), CJK/Latin
     script guess, stopword-profile language ID (the unigram n-gram-
@@ -881,6 +875,75 @@ LEFT JOIN t3 USING (doc_id)
 LEFT JOIN cov USING (doc_id)
 ORDER BY doc_id
 """
+
+
+def _poly_fold_sql(expr: str, mul: int) -> str:
+    """DuckDB replay of functions/text._poly_hash(s, mul): list_reduce
+    seeds the accumulator with the first codepoint then folds
+    (a*mul + cp) mod 1e9+7; '' hashes to 0 (same guard as the rolling
+    fingerprint oracle)."""
+    return (
+        f"CASE WHEN {expr} = '' THEN 0 ELSE list_reduce("
+        f"list_transform(string_split({expr}, ''), "
+        "c -> CAST(unicode(c) AS BIGINT)), "
+        f"(a, x) -> (a * {mul} + x) % 1000000007) END"
+    )
+
+
+# Decontamination oracle: replays the combined window hash exactly as
+# the duplicated_span_removal oracle does (same _poly_fold_sql packing),
+# with window=13 (the GPT-3 overlap width) and the deterministic
+# benchmark slice doc_id % 41 = 0. Short docs (<= 13 tokens) emit one
+# whole-doc window, matching window_hash_positions.
+_DECON_WINDOW = 13
+_DECON_ORACLE = f"""
+WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS lt FROM documents),
+w AS (SELECT doc_id,
+             CASE WHEN len(lt) <= {_DECON_WINDOW}
+                  THEN [array_to_string(lt, ' ')]
+                  ELSE list_transform(
+                         generate_series(1, len(lt) - {_DECON_WINDOW - 1}),
+                         i -> array_to_string(lt[i:i + {_DECON_WINDOW - 1}], ' '))
+             END AS ws
+      FROM tk),
+w2 AS (SELECT doc_id,
+              list_transform(ws, s -> {{f31}} * 1000000007 + {{f131}}) AS whs
+       FROM w),
+wh AS (SELECT doc_id, unnest(whs) AS whash FROM w2),
+bset AS (SELECT DISTINCT whash FROM wh WHERE doc_id % 41 = 0),
+hits AS (SELECT doc_id, count(*) AS n FROM wh
+         WHERE whash IN (SELECT whash FROM bset) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(h.n, 0) AS n_contaminated_windows,
+       coalesce(h.n, 0) > 0 AS is_contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@query(
+    "decontaminate_ngram",
+    _DECON_ORACLE.format(
+        f31=_poly_fold_sql("s", 31), f131=_poly_fold_sql("s", 131)
+    ),
+)
+def decontaminate_ngram(spark, sf_dir):
+    """Beyond-reference D8: benchmark decontamination (GPT-3 / Gopher
+    style 13-gram overlap, operators/quality.py::decontaminate) — the
+    deterministic benchmark slice doc_id % 41 = 0 against the whole
+    documents corpus; flags every doc sharing a 13-token window with
+    the benchmark (benchmark members flag themselves by construction).
+    The corpus side is one hash pass probed against the broadcast
+    benchmark hash set — never shuffled."""
+    from entity_linking_spark.operators.quality import decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 41 == 0).select("text")
+    return (
+        decontaminate(d, bench, window=_DECON_WINDOW)
+        .select("doc_id", "n_contaminated_windows", "is_contaminated")
+        .orderBy("doc_id")
+    )
 
 
 @query("gopher_repetition_signals", _GOPHER_ORACLE)
@@ -1288,19 +1351,6 @@ def stream_windowed_counts(spark, sf_dir):
 
 _DUP_SPAN_WINDOW = 8
 _DUP_SPAN_MAX_POSTINGS = 256
-
-
-def _poly_fold_sql(expr: str, mul: int) -> str:
-    """DuckDB replay of functions/text._poly_hash(s, mul): list_reduce
-    seeds the accumulator with the first codepoint then folds
-    (a*mul + cp) mod 1e9+7; '' hashes to 0 (same guard as the rolling
-    fingerprint oracle)."""
-    return (
-        f"CASE WHEN {expr} = '' THEN 0 ELSE list_reduce("
-        f"list_transform(string_split({expr}, ''), "
-        "c -> CAST(unicode(c) AS BIGINT)), "
-        f"(a, x) -> (a * {mul} + x) % 1000000007) END"
-    )
 
 
 _DUP_SPAN_ORACLE = f"""

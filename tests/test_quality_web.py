@@ -73,6 +73,66 @@ def test_repetition_signals_randomized_replay(spark):
         assert 0.0 <= got[did]["top2_frac"] <= 1.0
 
 
+# ----------------------------------------------------- decontamination
+
+
+def test_decontaminate_flags_and_removes(spark):
+    from entity_linking_spark.operators.quality import decontaminate
+
+    bench_text = " ".join(f"q{i}" for i in range(13))  # one 13-gram
+    docs = [
+        (1, " ".join(f"a{i}" for i in range(30))),                    # clean
+        (2, " ".join(f"b{i}" for i in range(10)) + " " + bench_text), # tainted
+        (3, bench_text),                                              # the item itself
+        (4, "short doc"),                                             # < window, clean
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    got = {
+        r.doc_id: r
+        for r in decontaminate(df, bench, window=13).collect()
+    }
+    assert not got[1].is_contaminated and got[1].n_contaminated_windows == 0
+    assert got[2].is_contaminated and got[2].n_contaminated_windows == 1
+    # doc 3 IS the benchmark text: its single whole-doc window matches
+    assert got[3].is_contaminated
+    assert not got[4].is_contaminated
+    # original columns survive, flag columns appended
+    assert set(got[1].asDict()) == {
+        "doc_id", "text", "n_contaminated_windows", "is_contaminated"
+    }
+    removed = decontaminate(df, bench, window=13, mode="remove")
+    assert sorted(r.doc_id for r in removed.collect()) == [1, 4]
+    assert removed.columns == ["doc_id", "text"]
+
+
+def test_decontaminate_counts_every_overlapping_window(spark):
+    """A benchmark doc longer than the window contributes ALL its
+    windows; a corpus doc overlapping it in a long run counts one hit
+    per matching window position."""
+    from entity_linking_spark.operators.quality import decontaminate
+
+    run = " ".join(f"r{i}" for i in range(20))  # 8 distinct 13-grams
+    df = spark.createDataFrame(
+        [(1, run + " tail0 tail1"), (2, "x y z")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(run,)], "text string")
+    got = {r.doc_id: r for r in decontaminate(df, bench, window=13).collect()}
+    assert got[1].n_contaminated_windows == 8  # positions 0..7 of the run
+    assert not got[2].is_contaminated
+
+
+def test_decontaminate_rejects_bad_mode(spark):
+    import pytest as _pytest
+
+    from entity_linking_spark.operators.quality import decontaminate
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        decontaminate(df, df, mode="drop")
+
+
 # ------------------------------------------------------- URL canonical form
 
 
