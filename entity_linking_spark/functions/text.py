@@ -287,6 +287,60 @@ def _all_window_hashes_multi(
     return out
 
 
+def _window_hash_families(
+    t: str, windows: tuple[int, ...], muls: tuple[int, ...]
+) -> dict[int, list[np.ndarray]]:
+    """_all_window_hashes under SEVERAL multipliers AND several window
+    sizes in one pass: the decode work (lower, split, utf-32 codepoints,
+    token char-starts) is shared across everything, and the per-mul
+    prefix-hash arrays are shared across window sizes — a window size
+    only selects (start, end) index pairs into the same prefix arrays.
+    Returns {window: [hashes_per_mul]}; a window larger than the doc's
+    token count yields EMPTY arrays (full windows only — this is the
+    n-gram convention of operators/quality, NOT the whole-doc-window
+    convention of _all_window_hashes/window_hash_positions)."""
+    s = t.lower()
+    toks = s.split(" ")
+    n_toks = len(toks)
+    nc = len(s)
+    lens = np.fromiter((len(x) for x in toks), dtype=np.int64, count=n_toks)
+    starts = np.empty(n_toks + 1, dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(lens + 1, out=starts[1:])
+    cps = None
+    Hs = []
+    pws = []
+    for mul in muls:
+        if any(n_toks >= w for w in windows):
+            if cps is None:
+                cps = np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(
+                    np.int64
+                )
+            pw = _pow_array(mul, nc + 1)
+            inv = _pow_array(pow(mul, _POLY_MOD - 2, _POLY_MOD), nc)
+            terms = (cps * inv) % _POLY_MOD
+            prefix = np.cumsum(terms) % _POLY_MOD
+            H = np.empty(nc + 1, dtype=np.int64)
+            H[0] = 0
+            H[1:] = prefix * pw[:nc] % _POLY_MOD
+        else:  # every window is larger than the doc: nothing to hash
+            H, pw = None, None
+        Hs.append(H)
+        pws.append(pw)
+    empty = np.empty(0, dtype=np.int64)
+    out: dict[int, list[np.ndarray]] = {}
+    for w in windows:
+        if n_toks < w:
+            out[w] = [empty] * len(muls)
+            continue
+        a = starts[: n_toks - w + 1]
+        b = starts[w:] - 1
+        out[w] = [
+            (H[b] - H[a] * pw[b - a]) % _POLY_MOD for H, pw in zip(Hs, pws)
+        ]
+    return out
+
+
 def _window_min_hash(t: str) -> int:
     """Min polynomial hash over all W-token windows (winnowing-style
     fingerprint) — the min of _all_window_hashes."""

@@ -17,79 +17,88 @@ GopherRepetitionFilter, transposed from chars to tokens). Token and
 char fractions are monotonically related on whitespace-tokenized text;
 callers thresholding fractions use ``*_frac`` columns.
 
-Scale notes: grams are grouped by (id, gram-string) — exact, no hash
-false positives, and the key space distributes well (hot keys are
-bounded by the longest document, not by corpus size); the duplicated-
-coverage join is co-partitioned with the groupBy that feeds it, so the
-whole operator is two shuffles per n (partial-aggregated map-side) plus
-one per-doc window. At the 100-TB decade the gram string can be swapped
-for the combined poly hash of operators/dedup (FP ~5e-7) to shrink
-shuffle width; the gate-row form keeps strings so the DuckDB twin is
-exact by construction.
+Gram identity is the SAME combined two-multiplier polynomial window
+hash as operators/dedup.window_hash_positions (muls 31/131 packed as
+h31*p + h131, ~2^60 key space): within-doc gram-pair collision odds are
+~5e-7 even for a million-gram document, and the DuckDB gate oracle
+replays the identical hash, so the gate row is exact by construction
+(the decontamination and duplicated-span oracles set the precedent).
+
+Scale notes: every signal is INTRA-document, so the operator needs NO
+shuffle at all — one mapInPandas pass whose per-doc work is the
+O(chars) vectorized prefix-hash machinery of functions/text.py (shared
+across both multipliers and all three window sizes) plus a few small
+numpy sorts. Embarrassingly parallel: one narrow scan of (id, text),
+no exchange, no hot keys, per-doc cost O(G log G) bounded by the
+longest document, never by the corpus. Two slower formulations were
+measured and rejected on the way here (tools/quality_bench.py, 200k
+docs x 32 cores): the round-5 first cut shuffled ~460 (id, gram) rows
+per doc through two partial-agg exchanges per n (5,046 docs/s); a
+shuffle-free rewrite as JVM higher-order-function expressions (sorted
+gram arrays + scalar aggregate() folds) was 2.3x SLOWER still (2,215
+docs/s) — HOFs evaluate interpreted, outside whole-stage codegen, and
+the per-element expression-tree walks cost more than the exchanges
+they saved. The vectorized-Arrow pass beats both by an order of
+magnitude; outputs are pinned identical by the gate row's DuckDB twin
+and the pytest from-first-principles string replay.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.window import Window
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 
-def _grams(base: DataFrame, n: int) -> DataFrame:
-    """(id, n_tokens, pos, gram) for every n-gram of every doc with at
-    least n tokens. posexplode of a transform(sequence(...)) keeps the
-    whole expansion in whole-stage codegen; the where-guard exists
-    because sequence(0, -k) would count DOWN, not produce empty."""
-    g = F.transform(
-        F.sequence(F.lit(0), F.size("t") - n),
-        lambda i: F.array_join(F.slice("t", i + 1, n), " "),
-    )
-    return base.where(F.size("t") >= n).select(
-        "id", "n_tokens", F.posexplode(g).alias("pos", "gram")
-    )
+def _doc_signals(
+    text: str,
+    top_ns: tuple[int, ...],
+    dup_n: int,
+    min_repeats: int,
+) -> tuple[int, list[int], int]:
+    """(n_tokens, [top_n counts], dup-coverage) for one document — all
+    numpy over the shared-decode window-hash families."""
+    from entity_linking_spark.functions.text import _window_hash_families
+    from entity_linking_spark.operators.dedup import _WHASH_MUL2, _WHASH_P
 
-
-def _top_gram_count(base: DataFrame, n: int) -> DataFrame:
-    """Per doc: occurrence count of the most frequent n-gram. Only the
-    max count is reported, so no tie-break is needed."""
-    return (
-        _grams(base, n)
-        .groupBy("id", "gram")
-        .agg(F.count("*").alias("c"))
-        .groupBy("id")
-        .agg(F.max("c").alias(f"top{n}_count"))
-    )
-
-
-def _dup_gram_coverage(base: DataFrame, n: int, min_repeats: int) -> DataFrame:
-    """Per doc: token positions covered by any n-gram occurring at least
-    min_repeats times WITHIN the doc, with overlapping/adjacent
-    occurrence windows merged gaps-and-islands style (the same merge as
-    operators/dedup.duplicated_spans, but grouped per document instead
-    of cross-corpus). Full windows only (pos + n <= n_tokens always),
-    so no span clamp is needed."""
-    g = _grams(base, n)
-    dup_keys = (
-        g.groupBy("id", "gram")
-        .agg(F.count("*").alias("c"))
-        .where(F.col("c") >= min_repeats)
-        .select("id", "gram")
-    )
-    # co-partitioned with the groupBy above: same (id, gram) exchange
-    dp = g.join(dup_keys, ["id", "gram"]).select("id", "pos")
-    w = Window.partitionBy("id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + n).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    grp = F.sum(
-        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
-    ).over(w)
-    return (
-        dp.withColumn("_g", grp)
-        .groupBy("id", "_g")
-        .agg((F.max("pos") + n - F.min("pos")).alias("_cov"))
-        .groupBy("id")
-        .agg(F.sum("_cov").alias(f"dup{n}_covered_tokens"))
-    )
+    windows = tuple(dict.fromkeys(list(top_ns) + [dup_n]))
+    fams = _window_hash_families(text, windows, (31, _WHASH_MUL2))
+    n_tokens = text.count(" ") + 1
+    tops = []
+    for n in top_ns:
+        h31, h131 = fams[n]
+        if len(h31) == 0:
+            tops.append(0)
+            continue
+        packed = h31 * _WHASH_P + h131
+        _, counts = np.unique(packed, return_counts=True)
+        tops.append(int(counts.max()))
+    h31, h131 = fams[dup_n]
+    cov = 0
+    if len(h31) >= min_repeats:
+        packed = h31 * _WHASH_P + h131
+        _, inverse, counts = np.unique(
+            packed, return_inverse=True, return_counts=True
+        )
+        # positions of duplicated windows, ascending by construction
+        pos = np.nonzero(counts[inverse] >= min_repeats)[0]
+        if len(pos):
+            # overlap-merged coverage in one vectorized line: the first
+            # flagged window contributes dup_n tokens; each later one
+            # contributes min(gap to its predecessor, dup_n) — the
+            # closed form of the gaps-and-islands merge for fixed-width
+            # intervals on sorted starts
+            cov = int(dup_n + np.minimum(np.diff(pos), dup_n).sum())
+    return n_tokens, tops, cov
 
 
 def repetition_signals(
@@ -114,39 +123,57 @@ def repetition_signals(
       the "fraction of characters in duplicate n-grams" analog.
 
     All counts are exact integers (the fractions are single divisions
-    of exact integers, so they are deterministic across engines).
+    of exact integers, so they are deterministic across engines). A
+    null text yields null n_tokens/fractions and zero counts (the
+    left-join convention of the first-cut implementation, kept).
 
-    The tokenized base feeds one gram pass per n plus the id spine, so
-    the source is scanned len(top_ns)+2 times (column-pruned to id +
-    text each time). ``persist_base=True`` caches the tokenization
-    instead (MEMORY_AND_DISK) — right when the upstream is an expensive
-    derived plan or a slow source; leave False when re-scanning pruned
-    parquet is cheaper than materializing ~corpus-text-size of token
-    arrays, which is the common case for a plain table scan.
+    ONE narrow mapInPandas pass — no join, no shuffle, a single scan of
+    (id, text); see the module docstring for the two slower
+    formulations this replaced. ``persist_base`` is kept for API
+    stability and is a no-op now that nothing is scanned twice.
     """
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    base = df.select(
-        F.col(id_col).alias("id"), toks.alias("t"), F.size(toks).alias("n_tokens")
-    )
-    if persist_base:
-        base = base.persist()
-    out = base.select("id", "n_tokens")
-    for n in top_ns:
-        out = out.join(_top_gram_count(base, n), "id", "left")
-    out = out.join(_dup_gram_coverage(base, dup_n, min_repeats), "id", "left")
-    cols = [F.col("id").alias(id_col), "n_tokens"]
-    for n in top_ns:
-        cnt = F.coalesce(F.col(f"top{n}_count"), F.lit(0)).cast("long")
-        cols += [
-            cnt.alias(f"top{n}_count"),
-            (cnt * n / F.col("n_tokens")).alias(f"top{n}_frac"),
-        ]
-    cov = F.coalesce(F.col(f"dup{dup_n}_covered_tokens"), F.lit(0)).cast("long")
-    cols += [
-        cov.alias(f"dup{dup_n}_covered_tokens"),
-        (cov / F.col("n_tokens")).alias(f"dup{dup_n}_frac"),
+    del persist_base  # single-pass since the vectorized rewrite
+    id_type = df.schema[id_col].dataType
+    fields = [
+        StructField(id_col, id_type, True),
+        StructField("n_tokens", IntegerType(), True),
     ]
-    return out.select(*cols)
+    for n in top_ns:
+        fields += [
+            StructField(f"top{n}_count", LongType(), True),
+            StructField(f"top{n}_frac", DoubleType(), True),
+        ]
+    fields += [
+        StructField(f"dup{dup_n}_covered_tokens", LongType(), True),
+        StructField(f"dup{dup_n}_frac", DoubleType(), True),
+    ]
+    schema = StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in fields}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                out[id_col].append(did)
+                if text is None:
+                    out["n_tokens"].append(None)
+                    for n in top_ns:
+                        out[f"top{n}_count"].append(0)
+                        out[f"top{n}_frac"].append(None)
+                    out[f"dup{dup_n}_covered_tokens"].append(0)
+                    out[f"dup{dup_n}_frac"].append(None)
+                    continue
+                nt, tops, cov = _doc_signals(text, top_ns, dup_n, min_repeats)
+                out["n_tokens"].append(nt)
+                for n, c in zip(top_ns, tops):
+                    out[f"top{n}_count"].append(c)
+                    out[f"top{n}_frac"].append(c * n / nt)
+                out[f"dup{dup_n}_covered_tokens"].append(cov)
+                out[f"dup{dup_n}_frac"].append(cov / nt)
+            yield pd.DataFrame(
+                {f.name: pd.Series(out[f.name], dtype="object") for f in fields}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
 def decontaminate(

@@ -824,34 +824,41 @@ def ngram_jaccard_similarity(spark, sf_dir):
 
 
 # Gopher-repetition oracle: replays operators/quality.repetition_signals
-# from first principles — per-doc n-gram counts for the top-n signals,
-# then the duplicated-5-gram token coverage via the same gaps-and-
-# islands window recipe the duplicated_span_removal oracle uses. Full
-# windows only (pos + 5 <= n_tokens by construction), so no clamp.
-_GOPHER_ORACLE = """
+# from first principles — gram identity is the combined 31/131 poly
+# window hash packed as h31*p + h131, EXACTLY as the operator computes
+# it (same replay recipe as the decontamination and duplicated-span
+# oracles), then per-doc hash counts for the top-n signals and the
+# duplicated-5-gram token coverage via the same gaps-and-islands window
+# recipe the duplicated_span_removal oracle uses. Full windows only
+# (pos + 5 <= n_tokens by construction), so no clamp. The {f31}/{f131}
+# placeholders are _poly_fold_sql over the gram string.
+_GOPHER_ORACLE_TMPL = """
 WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS lt FROM documents),
 b AS (SELECT doc_id, len(lt) AS n_tokens, lt FROM tk),
 g2 AS (SELECT doc_id,
               unnest(list_transform(generate_series(1, len(lt) - 1),
                                     i -> array_to_string(lt[i:i + 1], ' '))) AS gram
        FROM b),
+h2 AS (SELECT doc_id, {f31} * 1000000007 + {f131} AS gh FROM g2),
 t2 AS (SELECT doc_id, max(c) AS top2_count
-       FROM (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2)
+       FROM (SELECT doc_id, gh, count(*) AS c FROM h2 GROUP BY 1, 2)
        GROUP BY doc_id),
 g3 AS (SELECT doc_id,
               unnest(list_transform(generate_series(1, len(lt) - 2),
                                     i -> array_to_string(lt[i:i + 2], ' '))) AS gram
        FROM b),
+h3 AS (SELECT doc_id, {f31} * 1000000007 + {f131} AS gh FROM g3),
 t3 AS (SELECT doc_id, max(c) AS top3_count
-       FROM (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2)
+       FROM (SELECT doc_id, gh, count(*) AS c FROM h3 GROUP BY 1, 2)
        GROUP BY doc_id),
 g5 AS (SELECT doc_id,
               unnest(generate_series(1, len(lt) - 4)) - 1 AS pos,
               unnest(list_transform(generate_series(1, len(lt) - 4),
                                     i -> array_to_string(lt[i:i + 4], ' '))) AS gram
        FROM b),
-dk AS (SELECT doc_id, gram FROM g5 GROUP BY 1, 2 HAVING count(*) >= 2),
-dp AS (SELECT g5.doc_id, pos FROM g5 JOIN dk USING (doc_id, gram)),
+h5 AS (SELECT doc_id, pos, {f31} * 1000000007 + {f131} AS gh FROM g5),
+dk AS (SELECT doc_id, gh FROM h5 GROUP BY 1, 2 HAVING count(*) >= 2),
+dp AS (SELECT h5.doc_id, pos FROM h5 JOIN dk USING (doc_id, gh)),
 isl AS (SELECT doc_id, pos,
                max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
@@ -888,6 +895,11 @@ def _poly_fold_sql(expr: str, mul: int) -> str:
         "c -> CAST(unicode(c) AS BIGINT)), "
         f"(a, x) -> (a * {mul} + x) % 1000000007) END"
     )
+
+
+_GOPHER_ORACLE = _GOPHER_ORACLE_TMPL.format(
+    f31=_poly_fold_sql("gram", 31), f131=_poly_fold_sql("gram", 131)
+)
 
 
 # Decontamination oracle: replays the combined window hash exactly as

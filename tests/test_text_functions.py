@@ -240,6 +240,47 @@ def test_multi_hash_pass_equals_per_mul_calls():
                 )
 
 
+def test_window_hash_families_equals_per_window_calls():
+    """_window_hash_families (decode + prefix arrays shared across muls
+    AND window sizes) must be exact-equal to per-(window, mul)
+    _all_window_hashes calls wherever the doc has at least one full
+    window, and EMPTY (not whole-doc) below that — the n-gram
+    convention of operators/quality."""
+    import random
+
+    import numpy as np
+
+    from entity_linking_spark.functions.text import (
+        _all_window_hashes,
+        _window_hash_families,
+    )
+
+    rng = random.Random(7)
+    cases = ["", "one", "Ünïcødé tøkens 漢字 in a stream of text tokens here"]
+    for _ in range(60):
+        n = rng.randint(0, 40)
+        cases.append(
+            " ".join(
+                "".join(rng.choices("abcdefé漢.,", k=rng.randint(0, 6)))
+                for _ in range(n)
+            )
+        )
+    windows = (2, 3, 5, 20)
+    for c in cases:
+        n_toks = c.count(" ") + 1
+        fams = _window_hash_families(c, windows, (31, 131))
+        for w in windows:
+            for mul, got in zip((31, 131), fams[w]):
+                if n_toks < w:
+                    assert len(got) == 0, (repr(c), w, mul)
+                else:
+                    assert np.array_equal(got, _all_window_hashes(c, w, mul)), (
+                        repr(c),
+                        w,
+                        mul,
+                    )
+
+
 def test_window_hashes_multi_mb_multitoken_doc():
     """A multi-MB MULTI-token doc (the round-4 guard only covered the
     single-token case) takes the vectorized path, stays exact vs the
