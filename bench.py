@@ -51,6 +51,7 @@ def main() -> None:
         "gopher_repetition_signals",
         "url_canonicalize_dedup",
         "decontaminate_ngram",
+        "c4_line_clean",
     ]
     all_q = Q.all_queries()
     times: dict[str, float] = {}

@@ -176,6 +176,93 @@ def repetition_signals(
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
+# C4's published terminal-punctuation set (Raffel et al. 2020 §2.2 /
+# the public T5 text-cleaning code): a retained line must end in one.
+_C4_TERMINAL = (".", "!", "?", '"')
+
+
+def c4_line_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    drop_line_phrases: tuple[str, ...] = ("javascript",),
+    drop_page_phrases: tuple[str, ...] = ("lorem ipsum", "{"),
+    mode: str = "flag",
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning", §2.2) — the canonical public
+    web-corpus heuristic pass. Line rules (a line is kept iff ALL
+    hold, after trimming):
+
+    - ends in terminal punctuation (``. ! ? "``);
+    - has at least ``min_words_per_line`` whitespace words (C4: 5);
+    - contains none of ``drop_line_phrases`` case-insensitively
+      (C4: the word "javascript").
+
+    Page rules (the whole document is dropped iff ANY hold):
+
+    - raw text contains any of ``drop_page_phrases``
+      case-insensitively (C4: "lorem ipsum" and the curly brace);
+    - fewer than ``min_kept_lines`` lines survive the line rules
+      (documented approximation of C4's "fewer than 3 sentences" —
+      every kept line ends in terminal punctuation, so kept lines are
+      the natural sentence proxy at line granularity).
+
+    C4's remaining rule — dedup of repeated three-sentence spans across
+    the corpus — is the cross-document operator this module does NOT
+    own: operators/dedup.dedup_repeated_substrings covers it.
+
+    Word counts split on single spaces on both engines, so runs of
+    spaces count empty words identically here and in the DuckDB twin.
+
+    mode='flag' returns (id, n_lines, n_lines_kept, clean_text,
+    is_page_dropped); mode='remove' returns surviving pages with
+    text_col replaced by the cleaned text. Pure Column expressions —
+    per-row transform/filter over the line array, no shuffle, no
+    Python; the per-element lambda bodies are a handful of scalar
+    string predicates, the shape the HOF interpreter prices fine (the
+    repetition-signal rewrite above documents where HOFs do NOT pay:
+    per-element sorts and probe loops)."""
+    if mode not in ("flag", "remove"):
+        raise ValueError(f"mode must be 'flag' or 'remove', got {mode!r}")
+
+    def line_ok(line):
+        ok = (F.size(F.split(line, " ")) >= min_words_per_line) & (
+            F.substring(line, -1, 1).isin(*_C4_TERMINAL)
+        )
+        for ph in drop_line_phrases:
+            ok = ok & ~F.contains(F.lower(line), F.lit(ph))
+        return ok
+
+    lines = F.transform(
+        F.split(F.col(text_col), "\n"), lambda l: F.trim(l)
+    )
+    kept = F.filter(lines, line_ok)
+    page_bad = F.lit(False)
+    for ph in drop_page_phrases:
+        page_bad = page_bad | F.contains(
+            F.lower(F.col(text_col)), F.lit(ph)
+        )
+    out = df.withColumns(
+        {
+            "n_lines": F.size(lines),
+            "n_lines_kept": F.size(kept),
+            "clean_text": F.array_join(kept, "\n"),
+            "is_page_dropped": page_bad
+            | (F.size(kept) < min_kept_lines),
+        }
+    )
+    if mode == "remove":
+        keep_cols = [
+            F.col("clean_text").alias(c) if c == text_col else F.col(c)
+            for c in df.columns
+        ]
+        return out.where(~F.col("is_page_dropped")).select(*keep_cols)
+    return out
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

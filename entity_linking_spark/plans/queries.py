@@ -379,7 +379,7 @@ def w1_topk_per_group(spark, sf_dir):
 
 
 # W3 (argsort-desc rank, main_dense.py:282-284) is covered by
-# w2_w3_rank_topk_collect below — same rank() window, plus the collect.
+# w2_w3_w5_window_sort_suite below — same rank() window, plus the collect.
 
 
 @query(
@@ -402,19 +402,10 @@ def w4_gold_position(spark, sf_dir):
     )
 
 
-@query(
-    "w5_global_sort_limit",
-    """SELECT doc_id, n_chars FROM documents
-       ORDER BY n_chars DESC, doc_id LIMIT 20""",
-)
-def w5_global_sort_limit(spark, sf_dir):
-    """W5+W6: global order + limit pushdown (candidate_retrieval/utils.py:294-301)."""
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", "n_chars")
-        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-        .limit(20)
-    )
+# W5+W6 (global order + limit pushdown, candidate_retrieval/utils.py:
+# 294-301) merged into w2_w3_w5_window_sort_suite below (round 5, to
+# free a gate slot for c4_line_clean — the same merge move as p5/p6,
+# f18/f19 and the f7/f9/f13 scalar chain in earlier rounds).
 
 
 # ----------------------------------------------------------------- set ops
@@ -1055,6 +1046,100 @@ def url_canonicalize_dedup(spark, sf_dir):
             F.min("doc_id").alias("first_doc"),
         )
         .orderBy("canonical_url")
+    )
+
+
+# C4 line-clean oracle: forges multi-line pages deterministically from
+# the documents table on BOTH sides (10-token chunks; terminal '.' on
+# every (doc_id+i)%3==0 chunk; planted javascript / lorem-ipsum /
+# curly-brace lines on the %5 / %17 / %23 residues), then replays
+# operators/quality.c4_line_clean's line and page rules from first
+# principles. Word counts split on single spaces on both engines.
+_C4_ORACLE = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS lt FROM documents),
+ch AS (SELECT doc_id,
+              list_transform(
+                  generate_series(0, CAST(ceil(len(lt) / 10.0) AS BIGINT) - 1),
+                  i -> array_to_string(lt[i*10+1 : i*10+10], ' ')
+                       || CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END
+              ) AS lines0
+       FROM tk),
+pl AS (SELECT doc_id,
+              lines0
+              || (CASE WHEN doc_id % 5 = 0
+                       THEN ['Please enable javascript to continue reading.']
+                       ELSE [] END)
+              || (CASE WHEN doc_id % 17 = 0
+                       THEN ['Lorem Ipsum dolor sit amet boilerplate.']
+                       ELSE [] END)
+              || (CASE WHEN doc_id % 23 = 0
+                       THEN ['function() { return 1; }'] ELSE [] END) AS lines
+       FROM ch),
+fg AS (SELECT doc_id, array_to_string(lines, chr(10)) AS forged FROM pl),
+ln AS (SELECT doc_id, forged,
+              list_transform(string_split(forged, chr(10)),
+                             l -> trim(l)) AS lines
+       FROM fg),
+kp AS (SELECT doc_id, forged, len(lines) AS n_lines,
+              list_filter(lines, l ->
+                  len(string_split(l, ' ')) >= 5
+                  AND right(l, 1) IN ('.', '!', '?', '"')
+                  AND NOT contains(lower(l), 'javascript')) AS kept
+       FROM ln)
+SELECT doc_id, n_lines, len(kept) AS n_lines_kept,
+       -- DuckDB's array_to_string is NULL on an empty list where
+       -- Spark's array_join is '' — coalesce to Spark's convention
+       coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+       (contains(lower(forged), 'lorem ipsum')
+        OR contains(lower(forged), '{')
+        OR len(kept) < 3) AS is_page_dropped
+FROM kp ORDER BY doc_id
+"""
+
+
+@query("c4_line_clean", _C4_ORACLE)
+def c4_line_clean_gate(spark, sf_dir):
+    """Beyond-reference D9: C4-style line-level cleaning (Raffel et al.
+    2020 §2.2, operators/quality.c4_line_clean) — terminal-punctuation
+    / min-words / javascript line rules plus lorem-ipsum / curly-brace
+    / min-kept-lines page rules. Multi-line pages are forged
+    deterministically from doc_id on both sides (the documents table is
+    single-line); the DuckDB twin replays forge and rules from first
+    principles."""
+    from entity_linking_spark.operators.quality import c4_line_clean
+
+    did = F.col("doc_id")
+    toks = F.split(F.col("text"), " ")
+    nch = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+            F.when((did + i) % 3 == 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+
+    def plant(cond, s):
+        return F.when(cond, F.array(F.lit(s))).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    lines = F.concat(
+        chunks,
+        plant(did % 5 == 0, "Please enable javascript to continue reading."),
+        plant(did % 17 == 0, "Lorem Ipsum dolor sit amet boilerplate."),
+        plant(did % 23 == 0, "function() { return 1; }"),
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    return (
+        c4_line_clean(d)
+        .select(
+            "doc_id", "n_lines", "n_lines_kept", "clean_text",
+            "is_page_dropped",
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -1799,25 +1884,34 @@ def dedup_minhash_pairs(spark, sf_dir):
 
 
 @query(
-    "w2_w3_rank_topk_collect",
+    "w2_w3_w5_window_sort_suite",
     """WITH ranked AS (
          SELECT event_type, event_id,
                 rank() OVER (PARTITION BY event_type
                              ORDER BY value DESC, event_id) AS rnk
          FROM events)
-       SELECT event_type,
-              string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS top_ids
-       FROM ranked WHERE rnk <= 3 GROUP BY event_type ORDER BY event_type""",
+       SELECT 'w2w3' AS which, event_type AS k,
+              string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS v
+       FROM ranked WHERE rnk <= 3 GROUP BY event_type
+       UNION ALL
+       SELECT 'w5' AS which, CAST(doc_id AS VARCHAR) AS k,
+              CAST(n_chars AS VARCHAR) AS v
+       FROM (SELECT doc_id, n_chars FROM documents
+             ORDER BY n_chars DESC, doc_id LIMIT 20)
+       ORDER BY which, k""",
 )
-def w2_w3_rank_topk_collect(spark, sf_dir):
+def w2_w3_w5_window_sort_suite(spark, sf_dir):
     """W2 candidate list sorted + collected per group (service_main.py:
     170, el_main.py:166-175 top-k cut) + W3 argsort-desc rank
-    (main_dense.py:282-284) — same rank() window feeds both."""
+    (main_dense.py:282-284) — same rank() window feeds both — + W5/W6
+    global order + limit pushdown (candidate_retrieval/utils.py:
+    294-301; TakeOrderedAndProject, no full sort), merged into one
+    gate row (round 5)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(
         F.col("value").desc(), F.col("event_id")
     )
-    return (
+    w2w3 = (
         e.withColumn("rnk", F.rank().over(w))
         .where(F.col("rnk") <= 3)
         .groupBy("event_type")
@@ -1828,10 +1922,26 @@ def w2_w3_rank_topk_collect(spark, sf_dir):
                     F.array_sort(F.collect_list("event_id")),
                     lambda x: x.cast("string"),
                 ),
-            ).alias("top_ids")
+            ).alias("v")
         )
-        .orderBy("event_type")
+        .select(
+            F.lit("w2w3").alias("which"),
+            F.col("event_type").alias("k"),
+            "v",
+        )
     )
+    d = _t(spark, sf_dir, "documents")
+    w5 = (
+        d.select("doc_id", "n_chars")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .limit(20)
+        .select(
+            F.lit("w5").alias("which"),
+            F.col("doc_id").cast("string").alias("k"),
+            F.col("n_chars").cast("string").alias("v"),
+        )
+    )
+    return w2w3.unionAll(w5).orderBy("which", "k")
 
 
 # ------------------------------------------------- BM25 retrieval (J5)

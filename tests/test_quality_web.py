@@ -205,3 +205,97 @@ def test_url_dedup_keeps_min_id(spark):
     # id-less variant: one row per canonical key, arbitrary representative
     assert url_dedup(df, "url").select("canonical_url").distinct().count() == 2
     assert url_dedup(df, "url").count() == 2
+
+
+# ----------------------------------------------------- C4 line cleaning
+
+
+def _replay_c4(text, min_words=5, min_kept=3):
+    """From-first-principles replay of c4_line_clean for one page."""
+    lines = [l.strip() for l in text.split("\n")]
+    kept = [
+        l
+        for l in lines
+        if len(l.split(" ")) >= min_words
+        and l[-1:] in ('.', '!', '?', '"')
+        and "javascript" not in l.lower()
+    ]
+    dropped = (
+        "lorem ipsum" in text.lower()
+        or "{" in text
+        or len(kept) < min_kept
+    )
+    return {
+        "n_lines": len(lines),
+        "n_lines_kept": len(kept),
+        "clean_text": "\n".join(kept),
+        "is_page_dropped": dropped,
+    }
+
+
+def test_c4_line_clean_hand_cases(spark):
+    from entity_linking_spark.operators.quality import c4_line_clean
+
+    docs = [
+        # survives: three kept lines, two dropped (short / no punct)
+        (0, "This is a good long line with punctuation.\nshort line\n"
+            "Another fine sentence with enough words here!\n"
+            "A third proper sentence keeps this page alive.\nno punct here now ok"),
+        # javascript line dropped -> only 1 kept -> page dropped
+        (1, "Please enable javascript to see this content.\n"
+            "Only one good sentence lives on this page."),
+        # lorem ipsum -> page dropped even with 3 kept lines
+        (2, "Lorem Ipsum dolor sit amet consectetur adipiscing elit.\n"
+            "Second decent sentence with plenty of words here.\n"
+            "Third decent sentence with plenty of words here."),
+        # curly brace -> page dropped
+        (3, 'function() { return 1; }\nFirst decent sentence with plenty of words.\n'
+            "Second decent sentence with plenty of words.\n"
+            "Third decent sentence with plenty of words."),
+        # quote-terminated line counts as terminal punctuation
+        (4, 'He said the quote ends this line properly."\n'
+            "Second decent sentence with plenty of words here?\n"
+            "Third decent sentence with plenty of words here!"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in c4_line_clean(df).collect()}
+    for did, text in docs:
+        want = _replay_c4(text)
+        for k, v in want.items():
+            assert got[did][k] == v, (did, k, got[did].get(k), v)
+    assert not got[0]["is_page_dropped"]
+    assert got[1]["is_page_dropped"] and got[2]["is_page_dropped"]
+    assert got[3]["is_page_dropped"]
+    assert not got[4]["is_page_dropped"]
+    # remove mode keeps only surviving pages and swaps in the clean text
+    kept = {
+        r.doc_id: r.text
+        for r in c4_line_clean(df, mode="remove").collect()
+    }
+    assert set(kept) == {0, 4}
+    assert kept[0] == _replay_c4(docs[0][1])["clean_text"]
+
+
+def test_c4_line_clean_randomized_replay(spark):
+    from entity_linking_spark.operators.quality import c4_line_clean
+
+    rng = random.Random(23)
+    vocab = ["alpha", "beta", "Gamma", "delta,", "epsilon"]
+    enders = [".", "!", "?", '"', "", " ", ";"]
+    extras = ["", "javascript", "Lorem ipsum", "{", "JavaScript here"]
+    docs = []
+    for d in range(30):
+        lines = []
+        for _ in range(rng.randint(1, 8)):
+            words = [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+            extra = rng.choice(extras)
+            if extra:
+                words.append(extra)
+            lines.append(" ".join(words) + rng.choice(enders))
+        docs.append((d, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in c4_line_clean(df).collect()}
+    for did, text in docs:
+        want = _replay_c4(text)
+        for k, v in want.items():
+            assert got[did][k] == v, (did, k, got[did].get(k), v)
