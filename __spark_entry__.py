@@ -15,8 +15,8 @@ oracle_sql()   — matching DuckDB SQL for every SQL-expressible operator.
 
 Operator-id -> query-name mapping notes (round-2/3 merges, each op id
 kept visible in its query's name): A1/A2/A3 -> a1_a2_a3_group_count_
-distinct; A7+A9 -> a7_a9_hits_recall_at_k; W2+W3 -> w2_w3_rank_topk_
-collect; SO1/2/3 -> so1_so2_so3_setops; F7/F10/F11/F12/F16 ->
+distinct; A7+A9 -> a7_a9_hits_recall_at_k; W2+W3 -> w2_w3_w5_window_
+sort_suite; SO1/2/3 -> so1_so2_so3_setops; F7/F10/F11/F12/F16 ->
 f7_f10_f11_f12_f16_scalar_chain; F9+F13 -> f9_f13_window_slice_offset;
 A11 + the text-quality / token-count / lang-id / fingerprint ops ->
 text_analysis_suite; S1/S2/S4 -> s1_s4_jsonl_bz2_scan; J4 semi + anti
@@ -30,9 +30,12 @@ that now holds the oracle-backed duplicated_span_removal: ExactSubstr
 detection + span removal with a full DuckDB hash/islands/slice twin);
 ann_lsh_topk + ann_ivf_topk -> ann_lsh_ivf_topk (round 5, freeing a
 rows-only slot for the warc_roundtrip container check);
-P3 + P4 -> p3_p4_token_substring_filter (round 5, tagged union so each
+P3 + P4 -> p3_p4_p7_filter_suite (round 5, tagged union so each
 filter keeps its standalone selectivity; the freed slot holds the
-oracle-backed gopher_repetition_signals quality operator);
+oracle-backed gopher_repetition_signals quality operator; P7 folded in
+late round 5, freeing the slot that holds gopher_quality_signals);
+W5/W6 -> folded into w2_w3_w5_window_sort_suite (round 5; the freed
+slot holds the oracle-backed c4_line_clean web-cleaning operator);
 R1 + R2 -> r1_r2_sampling_hash_split (round 5, the hash split now
 labels the sampled pairs; the freed slot holds the oracle-backed
 url_canonicalize_dedup web-crawl operator);

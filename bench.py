@@ -52,6 +52,7 @@ def main() -> None:
         "url_canonicalize_dedup",
         "decontaminate_ngram",
         "c4_line_clean",
+        "gopher_quality_signals",
     ]
     all_q = Q.all_queries()
     times: dict[str, float] = {}

@@ -263,6 +263,129 @@ def c4_line_clean(
     return out
 
 
+# Gopher's required-stopword list (Rae et al. 2021 Table A1): a quality
+# document must contain at least two of these as whitespace words.
+_GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# Bullet prefixes / ellipsis suffixes: the paper says "bullet point" /
+# "ellipsis"; this is the small published set of the public DataTrove
+# GopherQualityFilter, kept identical in the DuckDB gate twin.
+_BULLET_PREFIXES = ("•", "‣", "▶", "◦", "·", "-", "*")
+_ELLIPSIS_SUFFIXES = ("…", "...")
+
+
+def gopher_quality_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    mode: str = "flag",
+) -> DataFrame:
+    """The NON-repetition half of the Gopher quality rules (Rae et al.
+    2021 Table A1) — the standard heuristic quality gate of public
+    LLM-data pipelines, companion to ``repetition_signals`` above. A
+    document PASSES iff all of:
+
+    - ``min_words <= n_words <= max_words`` (Gopher: 50..100,000);
+    - ``min_mean_word_len <= mean_word_len <= max_mean_word_len``
+      (Gopher: 3..10 characters);
+    - symbol-to-word ratio (occurrences of ``#``, ``…``, ``...``
+      over words) ``<= max_symbol_ratio`` (Gopher: 0.1);
+    - fraction of lines starting with a bullet
+      ``<= max_bullet_line_frac`` (Gopher: 90%);
+    - fraction of lines ending with an ellipsis
+      ``<= max_ellipsis_line_frac`` (Gopher: 30%);
+    - fraction of words containing an ASCII letter
+      ``>= min_alpha_word_frac`` (Gopher: 80%);
+    - at least ``min_stop_hits`` DISTINCT required stop words present
+      (Gopher: 2 of the/be/to/of/and/that/have/with).
+
+    Documented divergence from the paper (same stance as
+    ``repetition_signals``): words are single-space splits and lines
+    are trimmed newline splits, so every signal is an exact-integer
+    count or a single division of exact integers — bit-identical here
+    and in the DuckDB gate twin. The paper's "non-symbol words" /
+    tokenizer-level counts need a tokenizer both engines would have to
+    share; whitespace is the engine-neutral convention this module
+    already uses everywhere.
+
+    mode='flag' returns ``df`` + the seven signal columns +
+    ``is_quality_dropped``; mode='remove' returns passing rows with the
+    original columns. Pure Column expressions in whole-stage codegen —
+    per-row scalar work only, no shuffle, no Python.
+    """
+    if mode not in ("flag", "remove"):
+        raise ValueError(f"mode must be 'flag' or 'remove', got {mode!r}")
+    text = F.col(text_col)
+    words = F.split(text, " ")
+    n_words = F.size(words)
+    mean_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    ).cast("double") / n_words
+    n_symbols = F.size(
+        F.regexp_extract_all(text, F.lit(r"#|…|\.\.\."), 0)
+    )
+    lines = F.transform(F.split(text, "\n"), lambda l: F.trim(l))
+    n_lines = F.size(lines)
+
+    def starts_bullet(line):
+        c = F.lit(False)
+        for p in _BULLET_PREFIXES:
+            c = c | line.startswith(p)
+        return c
+
+    def ends_ellipsis(line):
+        c = F.lit(False)
+        for s in _ELLIPSIS_SUFFIXES:
+            c = c | line.endswith(s)
+        return c
+
+    bullet_frac = F.size(F.filter(lines, starts_bullet)).cast("double") / n_lines
+    ellipsis_frac = (
+        F.size(F.filter(lines, ends_ellipsis)).cast("double") / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("double")
+        / n_words
+    )
+    lower_words = F.transform(words, F.lower)
+    stop_hits = sum(
+        F.array_contains(lower_words, w).cast("int")
+        for w in _GOPHER_STOP_WORDS
+    )
+    symbol_ratio = n_symbols.cast("double") / n_words
+    passes = (
+        n_words.between(min_words, max_words)
+        & mean_len.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_line_frac)
+        & (ellipsis_frac <= max_ellipsis_line_frac)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    if mode == "remove":
+        return df.where(passes)
+    return df.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": mean_len,
+            "symbol_word_ratio": symbol_ratio,
+            "bullet_line_frac": bullet_frac,
+            "ellipsis_line_frac": ellipsis_frac,
+            "alpha_word_frac": alpha_frac,
+            "n_stop_hits": stop_hits,
+            "is_quality_dropped": ~passes,
+        }
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

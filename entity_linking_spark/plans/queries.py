@@ -53,49 +53,48 @@ def all_oracles() -> dict[str, str]:
 # ---------------------------------------------------------------- filters
 
 @query(
-    "p3_p4_token_substring_filter",
-    """SELECT 'p3' AS which, doc_id, len(string_split(text, ' ')) AS n_tokens
+    "p3_p4_p7_filter_suite",
+    """SELECT 'p3' AS which, CAST(doc_id AS VARCHAR) AS k,
+              CAST(len(string_split(text, ' ')) AS VARCHAR) AS v
        FROM documents WHERE len(string_split(text, ' ')) >= 60
        UNION ALL
-       SELECT 'p4' AS which, doc_id, len(string_split(text, ' ')) AS n_tokens
+       SELECT 'p4' AS which, CAST(doc_id AS VARCHAR) AS k,
+              CAST(len(string_split(text, ' ')) AS VARCHAR) AS v
        FROM documents
        WHERE NOT (lower(text) LIKE '%vector%' OR lower(text) LIKE '%stream%')
-       ORDER BY which, doc_id""",
+       UNION ALL
+       SELECT 'p7' AS which, CAST(event_id AS VARCHAR) AS k, event_type AS v
+       FROM events WHERE event_type NOT IN ('error', 'signup')
+       ORDER BY which, k""",
 )
-def p3_p4_token_substring_filter(spark, sf_dir):
+def p3_p4_p7_filter_suite(spark, sf_dir):
     """P3 + P4 merged (round 5, freeing a slot for the oracle-backed
-    gopher_repetition_signals): the min-tokens length gate
-    (data_ingestion.py:118-127) and the disambiguation-page style
-    contains-filter (data_ingestion.py:130-155), tagged and unioned so
-    EACH filter keeps its original standalone selectivity (a
-    conjunction would pass ~1 doc at sf0.01 — too degenerate to gate
-    on). Same pushdown shape per branch: one scan, one Filter."""
+    gopher_repetition_signals) + P7 folded in late round 5 (freeing a
+    slot for gopher_quality_signals — the w2/w3/w5 string-k/v merge
+    shape): the min-tokens length gate (data_ingestion.py:118-127), the
+    disambiguation-page style contains-filter (data_ingestion.py:
+    130-155), and the stop-word anti-filter (el_main.py:534-537),
+    tagged and unioned so EACH filter keeps its original standalone
+    selectivity (a conjunction would pass ~1 doc at sf0.01 — too
+    degenerate to gate on). Same pushdown shape per branch: one scan,
+    one Filter."""
     d = _t(spark, sf_dir, "documents")
     n = F.size(F.split(F.col("text"), " "))
     t = F.lower(F.col("text"))
+    did = F.col("doc_id").cast("string").alias("k")
     p3 = d.where(n >= 60).select(
-        F.lit("p3").alias("which"), "doc_id", n.alias("n_tokens")
+        F.lit("p3").alias("which"), did, n.cast("string").alias("v")
     )
     p4 = d.where(~(t.contains("vector") | t.contains("stream"))).select(
-        F.lit("p4").alias("which"), "doc_id", n.alias("n_tokens")
+        F.lit("p4").alias("which"), did, n.cast("string").alias("v")
     )
-    return p3.unionAll(p4).orderBy("which", "doc_id")
-
-
-@query(
-    "p7_stopword_filter",
-    """SELECT event_id, event_type FROM events
-       WHERE event_type NOT IN ('error', 'signup')
-       ORDER BY event_id""",
-)
-def p7_stopword_filter(spark, sf_dir):
-    """P7: stop-word anti-filter (el_main.py:534-537)."""
     e = _t(spark, sf_dir, "events")
-    return (
-        e.where(~F.col("event_type").isin("error", "signup"))
-        .select("event_id", "event_type")
-        .orderBy("event_id")
+    p7 = e.where(~F.col("event_type").isin("error", "signup")).select(
+        F.lit("p7").alias("which"),
+        F.col("event_id").cast("string").alias("k"),
+        F.col("event_type").alias("v"),
     )
+    return p3.unionAll(p4).unionAll(p7).orderBy("which", "k")
 
 
 # (p6_array_remove_nil merged into p5_p6_array_filter_remove above,
@@ -965,6 +964,105 @@ def gopher_repetition_signals(spark, sf_dir):
         .select(
             "doc_id", "n_tokens", "top2_count", "top3_count",
             "dup5_covered_tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Gopher quality-rule oracle: plants a bullet line (%7), an
+# ellipsis-terminated line (%11) and symbol noise (%13) on BOTH sides,
+# then replays operators/quality.gopher_quality_signals' seven rules
+# from first principles. Every signal is an exact-integer count or one
+# division of exact integers, so the doubles are bit-identical across
+# engines. Word = single-space split; line = trimmed newline split.
+_GOPHER_QUALITY_ORACLE = """
+WITH fg AS (SELECT doc_id,
+         text
+         || (CASE WHEN doc_id % 7 = 0
+                  THEN chr(10) || '• planted bullet line' ELSE '' END)
+         || (CASE WHEN doc_id % 11 = 0
+                  THEN chr(10) || 'this planted line trails off...' ELSE '' END)
+         || (CASE WHEN doc_id % 13 = 0
+                  THEN chr(10) || '## planted # symbols #' ELSE '' END) AS text
+       FROM documents),
+w AS (SELECT doc_id, text,
+             string_split(text, ' ') AS words,
+             list_transform(string_split(text, chr(10)),
+                            l -> trim(l)) AS lines
+      FROM fg),
+sg AS (SELECT doc_id,
+         len(words) AS n_words,
+         CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE)
+             / len(words) AS mean_word_len,
+         CAST(len(regexp_extract_all(text, '#|…|\\.\\.\\.')) AS DOUBLE)
+             / len(words) AS symbol_word_ratio,
+         CAST(len(list_filter(lines, l ->
+                 starts_with(l, '•') OR starts_with(l, '‣')
+                 OR starts_with(l, '▶') OR starts_with(l, '◦')
+                 OR starts_with(l, '·') OR starts_with(l, '-')
+                 OR starts_with(l, '*'))) AS DOUBLE)
+             / len(lines) AS bullet_line_frac,
+         CAST(len(list_filter(lines, l ->
+                 ends_with(l, '…') OR ends_with(l, '...'))) AS DOUBLE)
+             / len(lines) AS ellipsis_line_frac,
+         CAST(len(list_filter(words, x ->
+                 regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+             / len(words) AS alpha_word_frac,
+         CAST(list_contains(list_transform(words, x -> lower(x)), 'the') AS INT)
+         + CAST(list_contains(list_transform(words, x -> lower(x)), 'be') AS INT)
+         + CAST(list_contains(list_transform(words, x -> lower(x)), 'to') AS INT)
+         + CAST(list_contains(list_transform(words, x -> lower(x)), 'of') AS INT)
+         + CAST(list_contains(list_transform(words, x -> lower(x)), 'and') AS INT)
+         + CAST(list_contains(list_transform(words, x -> lower(x)), 'that') AS INT)
+         + CAST(list_contains(list_transform(words, x -> lower(x)), 'have') AS INT)
+         + CAST(list_contains(list_transform(words, x -> lower(x)), 'with') AS INT)
+             AS n_stop_hits
+       FROM w)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_hits,
+       NOT (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_word_ratio <= 0.1
+            AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3
+            AND alpha_word_frac >= 0.8
+            AND n_stop_hits >= 2) AS is_quality_dropped
+FROM sg ORDER BY doc_id
+"""
+
+
+@query("gopher_quality_signals", _GOPHER_QUALITY_ORACLE)
+def gopher_quality_signals_gate(spark, sf_dir):
+    """Beyond-reference D10: the NON-repetition half of the Gopher
+    quality rules (Rae et al. 2021 Table A1,
+    operators/quality.gopher_quality_signals) — word-count bounds, mean
+    word length, symbol-to-word ratio, bullet/ellipsis line fractions,
+    alpha-word fraction, required stop words. Bullet / ellipsis /
+    symbol lines are planted deterministically from doc_id on both
+    sides (the documents table is single-line prose); the DuckDB twin
+    replays forge and all seven rules from first principles."""
+    from entity_linking_spark.operators.quality import gopher_quality_signals
+
+    did = F.col("doc_id")
+
+    def plant(cond, s):
+        return F.when(cond, F.lit("\n" + s)).otherwise(F.lit(""))
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            plant(did % 7 == 0, "• planted bullet line"),
+            plant(did % 11 == 0, "this planted line trails off..."),
+            plant(did % 13 == 0, "## planted # symbols #"),
+        ).alias("text"),
+    )
+    return (
+        gopher_quality_signals(d)
+        .select(
+            "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+            "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+            "n_stop_hits", "is_quality_dropped",
         )
         .orderBy("doc_id")
     )

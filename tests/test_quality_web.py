@@ -299,3 +299,118 @@ def test_c4_line_clean_randomized_replay(spark):
         want = _replay_c4(text)
         for k, v in want.items():
             assert got[did][k] == v, (did, k, got[did].get(k), v)
+
+
+# ------------------------------------------------- Gopher quality rules
+
+
+def _replay_gopher(
+    text,
+    min_words=50,
+    max_words=100_000,
+    min_mean=3.0,
+    max_mean=10.0,
+    max_symbol=0.1,
+    max_bullet=0.9,
+    max_ellipsis=0.3,
+    min_alpha=0.8,
+    min_stops=2,
+):
+    """From-first-principles replay of gopher_quality_signals."""
+    import re
+
+    words = text.split(" ")
+    n_words = len(words)
+    mean_len = sum(len(w) for w in words) / n_words
+    symbol_ratio = len(re.findall(r"#|…|\.\.\.", text)) / n_words
+    lines = [l.strip() for l in text.split("\n")]
+    bullets = ("•", "‣", "▶", "◦", "·", "-", "*")
+    bullet_frac = sum(
+        any(l.startswith(p) for p in bullets) for l in lines
+    ) / len(lines)
+    ellipsis_frac = sum(
+        l.endswith("…") or l.endswith("...") for l in lines
+    ) / len(lines)
+    alpha_frac = sum(
+        bool(re.search("[a-zA-Z]", w)) for w in words
+    ) / n_words
+    lower = {w.lower() for w in words}
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    n_stop_hits = sum(s in lower for s in stops)
+    passes = (
+        min_words <= n_words <= max_words
+        and min_mean <= mean_len <= max_mean
+        and symbol_ratio <= max_symbol
+        and bullet_frac <= max_bullet
+        and ellipsis_frac <= max_ellipsis
+        and alpha_frac >= min_alpha
+        and n_stop_hits >= min_stops
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_len,
+        "symbol_word_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "n_stop_hits": n_stop_hits,
+        "is_quality_dropped": not passes,
+    }
+
+
+def _gopher_assert(spark, docs, **kw):
+    from entity_linking_spark.operators.quality import gopher_quality_signals
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in gopher_quality_signals(df, **kw).collect()}
+    for did, text in docs:
+        want = _replay_gopher(
+            text,
+            min_words=kw.get("min_words", 50),
+            min_stops=kw.get("min_stop_hits", 2),
+        )
+        for k, v in want.items():
+            if isinstance(v, float):
+                assert abs(got[did][k] - v) < 1e-12, (did, k, got[did][k], v)
+            else:
+                assert got[did][k] == v, (did, k, got[did][k], v)
+    return got
+
+
+def test_gopher_quality_hand_cases(spark):
+    from entity_linking_spark.operators.quality import gopher_quality_signals
+
+    good = " ".join(
+        ["the quick brown fox jumps over the lazy dog and that"] * 6
+    )  # 66 words, mean ~3.9, stop hits: the/and/that/... >= 2
+    docs = [
+        (0, good),                                   # passes every rule
+        (1, "too few words here."),                  # n_words < 50
+        (2, " ".join(["####"] * 60)),                # symbols + no alpha + no stops
+        (3, "\n".join(["• " + good] * 4)),           # 100% bullet lines
+        (4, "\n".join([good + "..."] * 2 + [good])), # 2/3 ellipsis lines
+        (5, " ".join(["ab"] * 60) + " the of"),      # mean word len < 3
+    ]
+    got = _gopher_assert(spark, docs)
+    assert not got[0]["is_quality_dropped"]
+    for did in (1, 2, 3, 4, 5):
+        assert got[did]["is_quality_dropped"], did
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kept = gopher_quality_signals(df, mode="remove")
+    assert [r.doc_id for r in kept.collect()] == [0]
+    assert kept.columns == ["doc_id", "text"]
+
+
+def test_gopher_quality_randomized_replay(spark):
+    rng = random.Random(31)
+    vocab = ["the", "of", "and", "alpha", "beta#", "…", "12345", "-", "to"]
+    docs = []
+    for d in range(40):
+        lines = []
+        for _ in range(rng.randint(1, 5)):
+            n = rng.randint(1, 30)
+            lines.append(" ".join(rng.choice(vocab) for _ in range(n))
+                         + rng.choice(["", "...", "…", "."]))
+        docs.append((d, "\n".join(lines)))
+    # lax thresholds so both outcomes occur at these tiny sizes
+    _gopher_assert(spark, docs, min_words=10, min_stop_hits=1)
