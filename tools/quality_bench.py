@@ -106,6 +106,50 @@ def main() -> None:
     n_contaminated = flagged.where("is_contaminated").count()
     decon_sec = time.time() - t0
 
+    # ---- multi-line page corpus for the C4 + Gopher-quality passes.
+    # 12 lines of 10 tokens; '.'-terminated on (doc_id+i)%2==0 -> exactly
+    # 6 C4-kept lines per page; a javascript line on %5 (kept-line rule),
+    # a lorem-ipsum line on %17 (page rule -> c4_dropped == ceil(N/17));
+    # " the of and" appended on even ids -> gopher keeps exactly N/2.
+    from entity_linking_spark.operators.quality import (
+        c4_line_clean,
+        gopher_quality_signals,
+    )
+
+    line_of = lambda i: F.concat(  # noqa: E731
+        F.array_join(F.slice(body, i * 10 + 1, 10), " "),
+        F.when((did + i) % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+    )
+    page_lines = F.transform(F.sequence(F.lit(0), F.lit(11)), line_of)
+    plant = lambda cond, t: F.when(cond, F.array(F.lit(t))).otherwise(  # noqa: E731
+        F.array().cast("array<string>")
+    )
+    page = F.concat(
+        F.array_join(
+            F.concat(
+                page_lines,
+                plant(did % 5 == 0, "Please enable javascript to continue."),
+                plant(did % 17 == 0, "Lorem Ipsum dolor sit amet boilerplate."),
+            ),
+            "\n",
+        ),
+        F.when(did % 2 == 0, F.lit(" the of and")).otherwise(F.lit("")),
+    )
+    pages = docs.select("doc_id", page.alias("text"))
+    pages.write.mode("overwrite").parquet("/tmp/el_quality_bench/pages")
+    pages = spark.read.parquet("/tmp/el_quality_bench/pages")
+
+    t0 = time.time()
+    c4 = c4_line_clean(pages).agg(
+        F.sum(F.col("is_page_dropped").cast("long")).alias("dropped"),
+        F.sum("n_lines_kept").alias("kept_lines"),
+    ).collect()[0]
+    c4_sec = time.time() - t0
+
+    t0 = time.time()
+    gq = gopher_quality_signals(pages, mode="remove").count()
+    gq_sec = time.time() - t0
+
     print(json.dumps({
         "metric": "quality_ops_bench",
         "n_docs": n_docs,
@@ -121,6 +165,14 @@ def main() -> None:
         "decontaminate_sec": round(decon_sec, 2),
         "decontaminate_docs_per_sec": round(n_docs / decon_sec, 1),
         "n_contaminated": int(n_contaminated),
+        "c4_line_clean_sec": round(c4_sec, 2),
+        "c4_docs_per_sec": round(n_docs / c4_sec, 1),
+        "c4_pages_dropped": int(c4["dropped"]),
+        "c4_pages_dropped_expected": -(-n_docs // 17),
+        "gopher_quality_sec": round(gq_sec, 2),
+        "gopher_quality_docs_per_sec": round(n_docs / gq_sec, 1),
+        "gopher_quality_kept": int(gq),
+        "gopher_quality_kept_expected": n_docs // 2 + n_docs % 2,
     }))
 
 
