@@ -1,0 +1,173 @@
+"""End-to-end web-corpus curation pipeline: one call from raw crawl
+pages to a training-ready corpus.
+
+Beyond-reference composition (the reference repo has no curation
+stage): chains the library's individually oracle-backed curation
+operators in the order every public LLM-data pipeline uses — cheap
+full-scan gates first, shuffle-bearing dedup later, the decontamination
+probe and PII redaction last:
+
+1. URL dedup            (functions/web.url_dedup — one shuffle)
+2. C4 line cleaning     (operators/quality.c4_line_clean — scan)
+3. Gopher quality rules (operators/quality.gopher_quality_signals — scan)
+4. Gopher repetition gate (operators/quality.repetition_signals —
+   one Arrow pass + an id semi-join back to the surviving pages)
+5. exact dedup          (operators/dedup.exact_dedup — one shuffle)
+6. MinHash-LSH near-dup (operators/dedup.minhash_near_dup_pairs +
+   dedup_clusters — banded candidate join + connected components)
+7. benchmark decontamination (operators/quality.decontaminate —
+   broadcast probe, the corpus itself is never shuffled)
+8. PII redaction        (functions/text.redact_pii — scan)
+
+Every stage is the same code path its gate row / pytest suite pins, so
+the composition needs no oracle of its own; `tests/test_curation.py`
+verifies stage-by-stage row accounting on planted fixtures and
+`tools/curation_bench.py` prices the whole chain at corpus scale.
+
+Scale shape: stages 2/3/8 are pure-Column scans (no exchange); stage 4
+is one shuffle-free Arrow pass plus a semi-join on (id) — narrow keys
+only, never text; stages 1/5 are single hash-shuffles; stage 6 is the
+banded LSH join with its standing stop-key caps; stage 7 broadcasts
+only the benchmark hashes. Nothing in the chain collects to the
+driver. With ``with_stats=True`` each stage boundary is persisted,
+counted, and released — the per-stage row accounting of a production
+curation run (the reference point: Gopher's Table A1 reports exactly
+this per-rule attrition); ``with_stats=False`` keeps the whole chain
+lazy as one Catalyst plan for maximum-throughput runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from entity_linking_spark.functions.text import redact_pii
+from entity_linking_spark.functions.web import url_dedup
+from entity_linking_spark.operators.dedup import (
+    dedup_clusters,
+    exact_dedup,
+    minhash_near_dup_pairs,
+)
+from entity_linking_spark.operators.quality import (
+    c4_line_clean,
+    decontaminate,
+    gopher_quality_signals,
+    repetition_signals,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    url_col: str | None = None,
+    benchmark: DataFrame | None = None,
+    c4: bool = True,
+    c4_min_kept_lines: int = 3,
+    gopher_quality: bool = True,
+    min_words: int = 50,
+    gopher_repetition: bool = True,
+    max_top2_frac: float = 0.20,
+    max_top3_frac: float = 0.18,
+    max_dup5_frac: float = 0.30,
+    near_dup: bool = True,
+    near_dup_jaccard: float = 0.8,
+    decontaminate_window: int = 13,
+    redact: bool = True,
+    with_stats: bool = True,
+) -> tuple[DataFrame, list[dict]]:
+    """Run the full curation chain over ``docs``; returns
+    ``(curated, stats)`` where ``stats`` is one dict per executed stage
+    — ``{"stage": name, "rows_in": n, "rows_out": m}`` — when
+    ``with_stats=True``, else ``[]`` (and the returned DataFrame is one
+    fully lazy plan).
+
+    Stage toggles (``url_col=None`` skips URL dedup, ``benchmark=None``
+    skips decontamination, the booleans gate the rest) let callers run
+    any prefix/subset; thresholds default to the Gopher paper values
+    where one exists (repetition fractions are this library's
+    documented TOKEN-fraction analogs — see
+    operators/quality.repetition_signals).
+
+    C4 cleaning REWRITES the text column (kept lines only), so later
+    stages — including dedup hashes and decontamination — operate on
+    the cleaned text, matching the published C4 -> dedup order.
+    """
+    stats: list[dict] = []
+    cur = docs
+    prev_persisted = None
+
+    def step(name: str, out: DataFrame) -> DataFrame:
+        nonlocal cur, prev_persisted, n_cur
+        if with_stats:
+            out = out.persist()
+            n_out = out.count()
+            stats.append({"stage": name, "rows_in": n_cur, "rows_out": n_out})
+            if prev_persisted is not None:
+                prev_persisted.unpersist()
+            prev_persisted = out
+            n_cur = n_out
+        cur = out
+        return out
+
+    n_cur = docs.count() if with_stats else -1
+
+    if url_col is not None:
+        step("url_dedup", url_dedup(cur, url_col, id_col).drop("canonical_url"))
+    if c4:
+        step(
+            "c4_line_clean",
+            c4_line_clean(
+                cur, text_col, id_col,
+                min_kept_lines=c4_min_kept_lines, mode="remove",
+            ),
+        )
+    if gopher_quality:
+        step(
+            "gopher_quality",
+            gopher_quality_signals(
+                cur, text_col, id_col, min_words=min_words, mode="remove"
+            ),
+        )
+    if gopher_repetition:
+        sig = repetition_signals(cur, text_col, id_col)
+        ok_ids = sig.where(
+            (F.col("top2_frac") <= max_top2_frac)
+            & (F.col("top3_frac") <= max_top3_frac)
+            & (F.col("dup5_frac") <= max_dup5_frac)
+        ).select(id_col)
+        step("gopher_repetition", cur.join(ok_ids, id_col, "left_semi"))
+    step(
+        "exact_dedup",
+        cur.join(
+            exact_dedup(cur, text_col, id_col, max_members=None)
+            .select(F.col("keeper").alias(id_col)),
+            id_col,
+            "left_semi",
+        ),
+    )
+    if near_dup:
+        toks = cur.select(
+            F.col(id_col).alias("url"),
+            F.split(F.lower(F.col(text_col)), " ").alias("tokens"),
+        )
+        pairs = minhash_near_dup_pairs(toks, min_jaccard=near_dup_jaccard)
+        keepers = (
+            dedup_clusters(toks, pairs, "url")
+            .where(F.col("url") == F.col("keeper"))
+            .select(F.col("url").alias(id_col))
+        )
+        step("near_dup", cur.join(keepers, id_col, "left_semi"))
+    if benchmark is not None:
+        step(
+            "decontaminate",
+            decontaminate(
+                cur, benchmark, text_col, id_col,
+                window=decontaminate_window, mode="remove",
+            ),
+        )
+    if redact:
+        step(
+            "redact_pii",
+            cur.withColumn(text_col, redact_pii(F.col(text_col))),
+        )
+    return cur, stats
