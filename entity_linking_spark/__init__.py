@@ -10,7 +10,9 @@ entity-linking service (EduKgs/entity_linking, studied read-only at
     -> transitive clustering (large-star/small-star CC)  operators/cluster.py
 
 plus the training-data-pipeline operators a 100 TB corpus needs
-(dedup, ANN similarity search, text analysis, multimodal plumbing).
+(dedup, ANN similarity search, text analysis, multimodal plumbing) and
+their composition as a one-call curation job (curation.curate_corpus:
+URL dedup -> C4 -> Gopher gates -> dedup -> decontamination -> PII).
 
 Everything is DataFrame/SQL + Arrow-vectorized pandas UDFs; no RDDs,
 no per-row Python UDFs in hot paths, no custom Catalyst rules.

@@ -33,7 +33,13 @@ driver. With ``with_stats=True`` each stage boundary is persisted,
 counted, and released — the per-stage row accounting of a production
 curation run (the reference point: Gopher's Table A1 reports exactly
 this per-rule attrition); ``with_stats=False`` keeps the whole chain
-lazy as one Catalyst plan for maximum-throughput runs.
+lazy as one Catalyst plan. Measured crossover
+(tools/curation_bench.py): the lazy plan wins at small corpora, but
+from ~1M docs with_stats=True is FASTER (108 s vs 139 s at 1M x 32
+cores) — the exact/near-dup stages consume their input twice (keeper
+table + probe), and the stage-boundary persist stops them recomputing
+the whole upstream chain. Prefer with_stats=True for big corpora, or
+persist the input to the dedup stages yourself.
 """
 
 from __future__ import annotations
@@ -171,3 +177,54 @@ def curate_corpus(
             cur.withColumn(text_col, redact_pii(F.col(text_col))),
         )
     return cur, stats
+
+
+def main() -> None:
+    """Run the curation chain as a job: python -m
+    entity_linking_spark.curation --input docs.parquet --output out/
+    [--url-col url] [--benchmark bench.parquet] [--stats]
+    (spark-submit --py-files form on a real cluster). The input parquet
+    must carry (id-col, text-col) plus whatever columns should ride
+    along; the output parquet is the curated corpus with the same
+    schema (text rewritten by C4 + redaction)."""
+    import argparse
+    import json
+
+    from entity_linking_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--input", required=True, help="input docs parquet")
+    ap.add_argument("--output", required=True, help="output parquet dir")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--url-col", default=None,
+                    help="enable URL dedup on this column")
+    ap.add_argument("--benchmark", default=None,
+                    help="eval-set parquet (text-col) for decontamination")
+    ap.add_argument("--min-words", type=int, default=50)
+    ap.add_argument("--near-dup-jaccard", type=float, default=0.8)
+    ap.add_argument("--stats", action="store_true",
+                    help="persist+count each stage (JSON line per stage)")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    spark = get_spark("curate", cores=args.cores)
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    curated, stats = curate_corpus(
+        docs,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        url_col=args.url_col,
+        benchmark=bench,
+        min_words=args.min_words,
+        near_dup_jaccard=args.near_dup_jaccard,
+        with_stats=args.stats,
+    )
+    curated.write.mode("overwrite").parquet(args.output)
+    for s in stats:
+        print(json.dumps(s))
+
+
+if __name__ == "__main__":
+    main()
