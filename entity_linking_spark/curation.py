@@ -50,7 +50,6 @@ from entity_linking_spark.functions.text import redact_pii
 from entity_linking_spark.functions.web import url_dedup
 from entity_linking_spark.operators.dedup import (
     dedup_clusters,
-    exact_dedup,
     minhash_near_dup_pairs,
 )
 from entity_linking_spark.operators.quality import (
@@ -142,14 +141,20 @@ def curate_corpus(
             & (F.col("dup5_frac") <= max_dup5_frac)
         ).select(id_col)
         step("gopher_repetition", cur.join(ok_ids, id_col, "left_semi"))
+    # keep-first exact dedup as ONE row_number window over the content
+    # hash (same keeper = min(id) semantics as operators/dedup.exact_dedup,
+    # whose metadata output the chain doesn't need): one shuffle, and —
+    # unlike a keeper-table semi-join — the input is consumed ONCE, so
+    # the lazy (with_stats=False) plan doesn't recompute the upstream
+    # chain for a second branch
+    from pyspark.sql.window import Window
+
+    w_exact = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
     step(
         "exact_dedup",
-        cur.join(
-            exact_dedup(cur, text_col, id_col, max_members=None)
-            .select(F.col("keeper").alias(id_col)),
-            id_col,
-            "left_semi",
-        ),
+        cur.withColumn("_rn", F.row_number().over(w_exact))
+        .where(F.col("_rn") == 1)
+        .drop("_rn"),
     )
     if near_dup:
         toks = cur.select(
