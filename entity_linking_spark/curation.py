@@ -213,9 +213,12 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
+    import time
+
     spark = get_spark("curate", cores=args.cores)
     docs = spark.read.parquet(args.input)
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    t0 = time.time()
     curated, stats = curate_corpus(
         docs,
         text_col=args.text_col,
@@ -227,8 +230,22 @@ def main() -> None:
         with_stats=args.stats,
     )
     curated.write.mode("overwrite").parquet(args.output)
+    seconds = time.time() - t0
     for s in stats:
         print(json.dumps(s))
+    n_in = stats[0]["rows_in"] if stats else None
+    n_out = (
+        stats[-1]["rows_out"]
+        if stats
+        else spark.read.parquet(args.output).count()
+    )
+    print(json.dumps({
+        "metric": "curate_job",
+        "n_in": n_in,
+        "n_out": n_out,
+        "seconds": round(seconds, 2),
+        "docs_per_sec": round(n_in / seconds, 1) if n_in else None,
+    }))
 
 
 if __name__ == "__main__":

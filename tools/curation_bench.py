@@ -35,16 +35,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-
+def forge_corpus(spark, n_docs: int, base: str = "/tmp/el_curation_bench"):
+    """Write the planted-work corpus + the C4-cleaned decontamination
+    benchmark slice as parquet; returns (docs_path, bench_path). Shared
+    by this bench and tools/curation_cluster_bench.py."""
     from pyspark.sql import functions as F
-
-    from entity_linking_spark.curation import curate_corpus
-    from entity_linking_spark.session import get_spark
-
-    spark = get_spark("curation-bench", cores=cores)
 
     docs = spark.range(n_docs).withColumnRenamed("id", "doc_id")
     did = F.col("doc_id")
@@ -112,17 +107,32 @@ def main() -> None:
         F.lit(".COM:443/Page/"), url_key.cast("string"), F.lit("/?utm_source=x"),
     )
     corpus = docs.select("doc_id", url.alias("url"), text.alias("text"))
-    corpus.write.mode("overwrite").parquet("/tmp/el_curation_bench/docs")
-    corpus = spark.read.parquet("/tmp/el_curation_bench/docs")
+    docs_path, bench_path = f"{base}/docs", f"{base}/bench"
+    corpus.write.mode("overwrite").parquet(docs_path)
+    corpus = spark.read.parquet(docs_path)
     # benchmark = the C4-CLEANED %100==0 slice: the decontamination
     # stage probes the cleaned corpus, so benchmark windows must be
     # over cleaned text too (real eval sets are clean prose; a raw
     # slice's windows straddle lines C4 drops and never align)
     from entity_linking_spark.operators.quality import c4_line_clean
 
-    bench = c4_line_clean(
+    c4_line_clean(
         corpus.where(F.col("doc_id") % 100 == 0), mode="remove"
-    ).select("text")
+    ).select("text").write.mode("overwrite").parquet(bench_path)
+    return docs_path, bench_path
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    from entity_linking_spark.curation import curate_corpus
+    from entity_linking_spark.session import get_spark
+
+    spark = get_spark("curation-bench", cores=cores)
+    docs_path, bench_path = forge_corpus(spark, n_docs)
+    corpus = spark.read.parquet(docs_path)
+    bench = spark.read.parquet(bench_path)
 
     # pass 1: per-stage accounting
     t0 = time.time()
