@@ -1887,18 +1887,23 @@ def s1_s4_jsonl_bz2_scan(spark, sf_dir):
 
 
 @query(
-    "s5_tsv_scan",
+    "s5_s10_tsv_jsonl_roundtrip",
     """SELECT printf('doc%03d', i) AS doc_id,
               'mention ' || CAST(i AS VARCHAR) AS mention,
               CAST(i * 7 AS INT) AS "offset",
               printf('e%05d', i % 10) AS kb_id
        FROM range(50) t(i) ORDER BY doc_id""",
 )
-def s5_tsv_scan(spark, sf_dir):
-    """S5: TSV mention-file scan (candidate_retrieval/dataset.py:18-69
-    splits lines on tabs). The fixture content is formulaic, so the
-    oracle regenerates it from range(50)."""
+def s5_s10_tsv_jsonl_roundtrip(spark, sf_dir):
+    """S5 + S10 merged (slot freed for weighted_mix_integer, round 5):
+    TSV mention-file scan (candidate_retrieval/dataset.py:18-69 splits
+    lines on tabs) chained THROUGH the JSONL sink
+    (write_dicts_as_json_per_line, utils.py:110-117) — scan the TSV
+    fixture, df.write.json it out, read it back, prove the lossless
+    scan->sink->scan roundtrip against the oracle regenerating the
+    formulaic content from range(50)."""
     import os
+    import shutil
 
     path = "/tmp/el_fixtures/static/mentions.tsv"
     if not os.path.exists(path):
@@ -1912,30 +1917,48 @@ def s5_tsv_scan(spark, sf_dir):
         sep="\t",
         schema="doc_id string, mention string, offset int, kb_id string",
     )
-    return df.orderBy("doc_id")
+    out = "/tmp/el_fixtures/mentions_jsonl"
+    shutil.rmtree(out, ignore_errors=True)
+    df.write.json(out)
+    back = spark.read.json(
+        out, schema="doc_id string, mention string, offset int, kb_id string"
+    )
+    return back.orderBy("doc_id")
 
 
 @query(
-    "s10_jsonl_sink_roundtrip",
-    """SELECT doc_id, lang, n_chars FROM documents
-       WHERE doc_id < 100 ORDER BY doc_id""",
+    "weighted_mix_integer",
+    """WITH d AS (SELECT doc_id, 'd' || CAST(doc_id % 3 AS VARCHAR) AS domain
+                  FROM documents),
+         w AS (SELECT doc_id, domain,
+                      CASE domain WHEN 'd0' THEN 2 WHEN 'd2' THEN 1 ELSE 0 END AS n
+               FROM d)
+       SELECT doc_id, domain, CAST(c AS INT) AS copy
+       FROM (SELECT doc_id, domain,
+                    unnest(generate_series(0, n - 1)) AS c
+             FROM w WHERE n > 0)
+       ORDER BY doc_id, copy""",
 )
-def s10_jsonl_sink_roundtrip(spark, sf_dir):
-    """S10: JSONL sink (write_dicts_as_json_per_line, utils.py:110-117) —
-    df.write.json out, read back, prove a lossless roundtrip against the
-    oracle reading the ORIGINAL parquet."""
-    import shutil
+def weighted_mix_integer(spark, sf_dir):
+    """D12: domain-weighted corpus mixing (operators/mixing.py), the
+    final-assembly step of public training corpora (The Pile epochs /
+    MassiveText proportions) — integer-weight slice, where the output
+    is exactly derivable: every 'd0' doc twice (copy 0,1), every 'd2'
+    doc once, 'd1' dropped via default_weight=0. Integer weights make
+    frac(w)=0, so the xxhash64 fractional keep never fires and DuckDB
+    replays the whole mix as a generate_series replication (the
+    fractional path's hash concentration is pytest-pinned instead —
+    tests/test_mixing.py — because DuckDB cannot replay Spark's
+    xxhash64)."""
+    from entity_linking_spark.operators.mixing import weighted_mix
 
-    src = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "n_chars")
-        .where(F.col("doc_id") < 100)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("d"), (F.col("doc_id") % 3).cast("string")).alias("domain"),
     )
-    out = "/tmp/el_fixtures/docs_jsonl"
-    shutil.rmtree(out, ignore_errors=True)
-    src.write.json(out)
-    back = spark.read.json(out, schema="doc_id long, lang string, n_chars long")
-    return back.orderBy("doc_id")
+    return weighted_mix(
+        d, {"d0": 2.0, "d2": 1.0}, domain_col="domain", id_col="doc_id"
+    ).orderBy("doc_id", "copy")
 
 
 @query(
