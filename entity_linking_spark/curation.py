@@ -24,22 +24,27 @@ the composition needs no oracle of its own; `tests/test_curation.py`
 verifies stage-by-stage row accounting on planted fixtures and
 `tools/curation_bench.py` prices the whole chain at corpus scale.
 
-Scale shape: stages 2/3/8 are pure-Column scans (no exchange); stage 4
-is one shuffle-free Arrow pass plus a semi-join on (id) — narrow keys
-only, never text; stages 1/5 are single hash-shuffles; stage 6 is the
-banded LSH join with its standing stop-key caps; stage 7 broadcasts
-only the benchmark hashes. Nothing in the chain collects to the
-driver. With ``with_stats=True`` each stage boundary is persisted,
-counted, and released — the per-stage row accounting of a production
-curation run (the reference point: Gopher's Table A1 reports exactly
-this per-rule attrition); ``with_stats=False`` keeps the whole chain
-lazy as one Catalyst plan. Measured crossover
-(tools/curation_bench.py): the lazy plan wins at small corpora, but
-from ~1M docs with_stats=True is FASTER (108 s vs 139 s at 1M x 32
-cores) — the exact/near-dup stages consume their input twice (keeper
-table + probe), and the stage-boundary persist stops them recomputing
-the whole upstream chain. Prefer with_stats=True for big corpora, or
-persist the input to the dedup stages yourself.
+Scale shape: stages 2/3/8 are pure-Column scans (no exchange); every
+removal gate (1/4/5/6) computes its VICTIM ids on a narrow branch —
+(id, canonical) / (id, signals) / (id, md5) / cluster non-keepers —
+and anti-joins them back, so the document payload (text + ride-along
+columns) never enters an exchange anywhere in the chain: victims are
+the removed minority, AQE broadcasts them at typical attrition rates,
+and the only full-width shuffles left are the LSH band join's narrow
+key tables; stage 7 broadcasts only the benchmark hashes. Nothing in
+the chain collects to the driver. With ``with_stats=True`` each stage
+boundary is persisted, counted, and released — the per-stage row
+accounting of a production curation run (the reference point: Gopher's
+Table A1 reports exactly this per-rule attrition); ``with_stats=False``
+persists the corpus ONCE (before the first multi-consumer gate) so the
+victim branches and probe sides replay cached rows, never the upstream
+chain — release it with ``spark.catalog.clearCache()`` (the persist is
+mid-plan, not the returned frame) when done. Measured on the round-5
+semi-join formulation (tools/curation_bench.py, 1M docs x 32 cores):
+lazy 117.8 s vs with_stats 72.9 s — the stats pass was FASTER because
+its persists stopped the dedup gates recomputing the chain; the single
+lazy persist + victim anti-joins close that gap (see
+BENCH/BASELINE.md for the re-measurement).
 """
 
 from __future__ import annotations
@@ -83,8 +88,10 @@ def curate_corpus(
     """Run the full curation chain over ``docs``; returns
     ``(curated, stats)`` where ``stats`` is one dict per executed stage
     — ``{"stage": name, "rows_in": n, "rows_out": m}`` — when
-    ``with_stats=True``, else ``[]`` (and the returned DataFrame is one
-    fully lazy plan).
+    ``with_stats=True``, else ``[]`` (and the returned DataFrame is
+    lazy up to one persist of the post-scan-gate corpus, which the
+    victim anti-join branches reuse; release it with
+    ``spark.catalog.clearCache()`` after the final action).
 
     Stage toggles (``url_col=None`` skips URL dedup, ``benchmark=None``
     skips decontamination, the booleans gate the rest) let callers run
@@ -133,41 +140,53 @@ def curate_corpus(
                 cur, text_col, id_col, min_words=min_words, mode="remove"
             ),
         )
+    # ---- multi-consumer gates below: each computes a VICTIM id set on
+    # a narrow branch and anti-joins it back, so the document payload
+    # (text + ride-along columns) never enters an exchange — victims
+    # are the removed minority, so AQE broadcasts them at typical
+    # attrition rates. The price is a second consumption of `cur` per
+    # gate; with_stats already persists every boundary, and the lazy
+    # path persists ONCE here so the upstream scan-gates never replay.
+    if not with_stats:
+        cur = cur.persist()
     if gopher_repetition:
         sig = repetition_signals(cur, text_col, id_col)
-        ok_ids = sig.where(
+        ok = (
             (F.col("top2_frac") <= max_top2_frac)
             & (F.col("top3_frac") <= max_top3_frac)
             & (F.col("dup5_frac") <= max_dup5_frac)
-        ).select(id_col)
-        step("gopher_repetition", cur.join(ok_ids, id_col, "left_semi"))
-    # keep-first exact dedup as ONE row_number window over the content
-    # hash (same keeper = min(id) semantics as operators/dedup.exact_dedup,
-    # whose metadata output the chain doesn't need): one shuffle, and —
-    # unlike a keeper-table semi-join — the input is consumed ONCE, so
-    # the lazy (with_stats=False) plan doesn't recompute the upstream
-    # chain for a second branch
+        )
+        # null signals (null text) count as BAD — parity with the
+        # previous keep-the-ok-set semi-join, where nulls never matched
+        bad_ids = sig.where(~F.coalesce(ok, F.lit(False))).select(id_col)
+        step("gopher_repetition", cur.join(bad_ids, id_col, "left_anti"))
+    # keep-first exact dedup, min(id) keeper per content hash (same
+    # semantics as operators/dedup.exact_dedup, whose metadata output
+    # the chain doesn't need): the row_number window runs over the
+    # narrow (id, md5) projection only — the round-5 full-row window
+    # shuffled every surviving document's text by content hash
     from pyspark.sql.window import Window
 
-    w_exact = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
-    step(
-        "exact_dedup",
-        cur.withColumn("_rn", F.row_number().over(w_exact))
-        .where(F.col("_rn") == 1)
-        .drop("_rn"),
+    w_exact = Window.partitionBy("_h").orderBy(id_col)
+    exact_victims = (
+        cur.select(id_col, F.md5(F.col(text_col)).alias("_h"))
+        .withColumn("_rn", F.row_number().over(w_exact))
+        .where(F.col("_rn") > 1)
+        .select(id_col)
     )
+    step("exact_dedup", cur.join(exact_victims, id_col, "left_anti"))
     if near_dup:
         toks = cur.select(
             F.col(id_col).alias("url"),
             F.split(F.lower(F.col(text_col)), " ").alias("tokens"),
         )
         pairs = minhash_near_dup_pairs(toks, min_jaccard=near_dup_jaccard)
-        keepers = (
+        victims = (
             dedup_clusters(toks, pairs, "url")
-            .where(F.col("url") == F.col("keeper"))
+            .where(F.col("url") != F.col("keeper"))
             .select(F.col("url").alias(id_col))
         )
-        step("near_dup", cur.join(keepers, id_col, "left_semi"))
+        step("near_dup", cur.join(victims, id_col, "left_anti"))
     if benchmark is not None:
         step(
             "decontaminate",

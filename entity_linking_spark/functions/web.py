@@ -91,18 +91,29 @@ def url_dedup(
     df: DataFrame, url_col: str = "url", id_col: str | None = None
 ) -> DataFrame:
     """Keep one row per canonical URL (the row with the minimum id when
-    ``id_col`` is given, an arbitrary-but-deterministic-per-shuffle one
-    otherwise via dropDuplicates). One shuffle on the canonical key;
-    the min-id variant uses the same exchange for the window and keeps
-    everything JVM-side."""
+    ``id_col`` is given — ids must be unique; an arbitrary-but-
+    deterministic-per-shuffle one otherwise via dropDuplicates).
+
+    Scale shape of the min-id variant: the window runs over a NARROW
+    (id, canonical_url) projection and only the VICTIM ids (every row
+    but the min-id keeper) feed an anti-join back — so the document
+    payload (text/html, the wide columns) never enters an exchange.
+    Victims are the duplicate minority, so AQE turns the anti-join into
+    a broadcast at typical crawl dup rates; the worst case (massive
+    duplication) degrades to the id-keyed shuffle the old full-row
+    window always paid. Costs one extra consumption of ``df`` (the
+    narrow branch) — callers composing long lazy chains should persist
+    upstream (curation.curate_corpus does)."""
     from pyspark.sql.window import Window
 
     out = df.withColumn("canonical_url", canonical_url(url_col))
     if id_col is None:
         return out.dropDuplicates(["canonical_url"])
     w = Window.partitionBy("canonical_url").orderBy(F.col(id_col).asc())
-    return (
-        out.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+    victims = (
+        out.select(id_col, "canonical_url")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 1)
+        .select(id_col)
     )
+    return out.join(victims, id_col, "left_anti")
