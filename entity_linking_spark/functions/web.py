@@ -103,15 +103,24 @@ def url_dedup(
     duplication) degrades to the id-keyed shuffle the old full-row
     window always paid. Costs one extra consumption of ``df`` (the
     narrow branch) — callers composing long lazy chains should persist
-    upstream (curation.curate_corpus does)."""
+    upstream (curation.curate_corpus does).
+
+    Rows with a NULL url pass through undeduped: their canonical form
+    is NULL too, and grouping them would silently collapse every
+    url-less document in the batch into one survivor."""
     from pyspark.sql.window import Window
 
     out = df.withColumn("canonical_url", canonical_url(url_col))
     if id_col is None:
-        return out.dropDuplicates(["canonical_url"])
+        return out.where(F.col(url_col).isNull()).unionByName(
+            out.where(F.col(url_col).isNotNull()).dropDuplicates(
+                ["canonical_url"]
+            )
+        )
     w = Window.partitionBy("canonical_url").orderBy(F.col(id_col).asc())
     victims = (
         out.select(id_col, "canonical_url")
+        .where(F.col("canonical_url").isNotNull())
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") > 1)
         .select(id_col)

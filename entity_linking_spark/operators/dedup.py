@@ -435,7 +435,16 @@ def duplicated_spans(
         F.count("*").alias("n_postings"),
     ]
     if keep_first:
-        key_aggs.append(F.min("id").alias("_keeper"))
+        # keeper = lowest id in the SOURCE column's own ordering: ids ride
+        # through the hash pass stringified (fixed Arrow schema), and a
+        # plain min over those strings would pick "10" over "2" on a
+        # numeric-id corpus — inconsistent with the doc contract and with
+        # the curation chain's exact-dedup keeper. Ties are impossible
+        # (the ordering value is a cast of the id itself).
+        id_type = df.schema[id_col].dataType.simpleString()
+        key_aggs.append(
+            F.min_by("id", F.col("id").cast(id_type)).alias("_keeper")
+        )
     key_stats = wh.groupBy("whash").agg(*key_aggs).where(
         F.col("n_docs") >= min_docs
     )

@@ -441,16 +441,21 @@ def decontaminate(
     if broadcast_benchmark:
         bh = F.broadcast(bh)
     dh = window_hash_positions(docs, text_col, id_col, window)
+    # the hits key gets a private name: drop-by-name drops EVERY column
+    # called "id", so joining on hits["id"] and dropping it would also
+    # delete a corpus column named "id" (or the key itself when
+    # id_col="id")
     hits = (
         dh.join(bh, "whash")
         .groupBy("id")
         .agg(F.count("*").alias("n_contaminated_windows"))
+        .withColumnRenamed("id", "_cid")
     )
     flagged = (
         docs.join(
-            hits, docs[id_col].cast("string") == hits["id"], "left"
+            hits, docs[id_col].cast("string") == hits["_cid"], "left"
         )
-        .drop("id")
+        .drop("_cid")
         .withColumn(
             "n_contaminated_windows",
             F.coalesce(F.col("n_contaminated_windows"), F.lit(0)).cast("long"),

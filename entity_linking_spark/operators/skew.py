@@ -27,11 +27,13 @@ DEFAULT_SALT = 8
 # droppable: with how='right'/'full' a hot build key whose n_salts
 # replicas include salts no probe row lands on would emit one spurious
 # unmatched row per uncovered salt
-_SALTED_JOIN_MODES = ("inner", "left", "left_semi", "left_anti", "semi", "anti")
+_SALTED_JOIN_MODES = ("inner", "left", "leftsemi", "leftanti", "semi", "anti")
 
 
 def _check_join_mode(how: str) -> None:
-    if how.replace("outer", "").strip("_") not in _SALTED_JOIN_MODES:
+    # normalize every Spark spelling ("left_semi" == "leftsemi" ==
+    # "semi", "left" == "leftouter") before checking
+    if how.lower().replace("outer", "").replace("_", "") not in _SALTED_JOIN_MODES:
         raise ValueError(
             f"salted joins support how in {_SALTED_JOIN_MODES}, got {how!r}: "
             "right/full joins would emit spurious unmatched build-side "

@@ -218,38 +218,51 @@ def _iter_warc_records_resync(
 ) -> Iterator[tuple[str, dict | str]]:
     """Parse WARC records from member-aligned chunks, yielding
     ("ok", record) or ("err", message). A record-level parse failure
-    poisons only the CURRENT gzip member: buffered bytes are dropped and
-    parsing resumes at the next member boundary — with Common Crawl's
-    one-record-per-member framing exactly the bad record is lost, not
-    the remainder of a 1 GB segment (the round-4 advice finding)."""
+    poisons only the member where the failed record STARTED: that
+    member's bytes are dropped and parsing resumes at the next member
+    boundary, re-using any later members' bytes the header scan had
+    already pulled into the buffer (a garbage member with no CRLFCRLF
+    makes the scan read ahead into its good successor — those successor
+    records must survive). With Common Crawl's one-record-per-member
+    framing exactly the bad record is lost, not the remainder of a 1 GB
+    segment (the round-4 advice finding)."""
     buf = b""
-    cur = 0  # member index of the newest byte in buf
+    base = 0  # absolute stream offset of buf[0]
     done = False
+    # (member_index, absolute_end_offset) per pulled member, pruned as
+    # their bytes are consumed — locates the member owning any offset
+    spans: list[tuple[int, int]] = []
 
     def pull() -> bool:
-        nonlocal buf, cur, done
+        nonlocal buf, done
         try:
             idx, c = next(chunks)
         except StopIteration:
             done = True
             return False
-        cur = idx
+        spans.append((idx, base + len(buf) + len(c)))
         buf += c
         return True
 
+    rec_start = 0
     while True:
+        head = None
         try:
             # one record, same framing rules as the plain-stream parser
             while True:
+                n = len(buf)
                 buf = buf.lstrip(b"\r\n")
+                base += n - len(buf)
                 if buf:
                     break
                 if not pull():
                     return
+            rec_start = base
             while _CRLF2 not in buf:
                 if not pull():
                     raise ValueError("truncated WARC header block")
             head, buf = buf.split(_CRLF2, 1)
+            base += len(head) + 4
             lines = head.split(b"\r\n")
             if not lines[0].startswith(b"WARC/"):
                 raise ValueError(f"bad WARC version line {lines[0][:40]!r}")
@@ -266,26 +279,42 @@ def _iter_warc_records_resync(
                 if not pull():
                     raise ValueError("truncated WARC payload")
             payload, buf = buf[:length], buf[length:]
+            base += length
+            while spans and spans[0][1] <= base:
+                spans.pop(0)
             yield "ok", {"headers": headers, "payload": payload}
         except (ValueError, KeyError) as e:
-            poisoned = cur
-            buf = b""
-            # drop the rest of the poisoned member, resume at the next
-            while not done:
-                try:
-                    idx, c = next(chunks)
-                except StopIteration:
-                    done = True
-                    break
-                if idx > poisoned:
-                    cur, buf = idx, c
-                    break
+            if head is not None:
+                # the header block was consumed before validation could
+                # fail; restore it so the resync cut below starts at the
+                # failed record's first byte (a garbage member glues
+                # itself onto its successor's header scan — the
+                # successor's bytes must stay parseable)
+                buf = head + _CRLF2 + buf
+                base = rec_start
+            # poison the member the failed record started in
+            poisoned_idx, poison_end = next(
+                ((i, end) for i, end in spans if end > rec_start),
+                (spans[-1][0], base + len(buf)) if spans else (0, base + len(buf)),
+            )
+            # resume at the poisoned member's boundary: later members'
+            # bytes already pulled stay parseable (poison_end <= end of
+            # buf, and >= base since base == rec_start <= poison_end)
+            buf = buf[max(poison_end - base, 0) :]
+            base = max(poison_end, base)
+            while spans and spans[0][1] <= base:
+                spans.pop(0)
+            if not buf and not done:
+                pull()
             where = (
-                f"resumed at gzip member {cur}"
-                if buf
+                f"resumed at gzip member {spans[0][0]}"
+                if buf and spans
                 else "no further members"
             )
-            yield "err", f"{type(e).__name__}: {e} ({where})"
+            yield "err", (
+                f"{type(e).__name__}: {e} "
+                f"(poisoned member {poisoned_idx}; {where})"
+            )
             if done and not buf:
                 return
 
@@ -343,16 +372,18 @@ def read_warc(
         info = fs.get_file_info(root)
         if info.type == pafs.FileType.Directory:
             sel = pafs.FileSelector(root, recursive=True)
-            # COMMITTED segments only: a '.warc' substring match would
-            # also pick up 'part-N.warc.gz.inprogress-<attempt>' leftovers
-            # of a killed writer attempt (write_warc commits by rename,
-            # so an .inprogress twin of a committed segment means
-            # duplicate + truncated rows on re-ingest)
+            # COMMITTED segments only: 'part-N.warc.gz.inprogress-<attempt>'
+            # leftovers of a killed writer attempt are excluded (write_warc
+            # commits by rename, so an .inprogress twin of a committed
+            # segment means duplicate + truncated rows on re-ingest).
+            # Matching stays a '.warc' substring, NOT an extension
+            # whitelist: Common Crawl's derived WET/WAT files are
+            # WARC-format too and are named '*.warc.wet.gz' / '*.warc.wat.gz'
             file_list = sorted(
                 f.path if "://" not in paths else f"{paths.split('://')[0]}://{f.path}"
                 for f in fs.get_file_info(sel)
                 if f.is_file
-                and f.base_name.endswith((".warc", ".warc.gz"))
+                and ".warc" in f.base_name
                 and ".inprogress" not in f.base_name
             )
         else:
@@ -563,25 +594,13 @@ def write_warc(
         if stream is not None:
             stream.close()
             wfs.move(wtmp, _resolve_fs(seg)[1])
-            # best-effort sweep of STALE .inprogress twins for THIS
-            # segment (a previously killed attempt dies between write
-            # and cleanup — Python-level except never runs). read_warc
-            # ignores them regardless; this keeps the directory clean.
-            from pyarrow import fs as pafs
-
-            seg_base = seg.rsplit("/", 1)[-1]
-            try:
-                for fi in wfs.get_file_info(
-                    pafs.FileSelector(_resolve_fs(path)[1], recursive=False)
-                ):
-                    if (
-                        fi.is_file
-                        and fi.base_name.startswith(f"{seg_base}.inprogress-")
-                        and fi.path != wtmp
-                    ):
-                        wfs.delete_file(fi.path)
-            except OSError:
-                pass  # cleanup is advisory; the commit already landed
+            # NO sweep of sibling .inprogress twins here: with task
+            # speculation two attempts of this partition run
+            # concurrently, and the first committer deleting the other
+            # attempt's live .inprogress file would fail that attempt's
+            # rename. Stale leftovers of killed attempts are harmless —
+            # read_warc's listing excludes '.inprogress' files — and can
+            # be swept by any out-of-band directory cleanup.
         if n or skipped:
             yield pd.DataFrame(
                 {"segment": [seg], "n_records": [n], "n_skipped": [skipped]}

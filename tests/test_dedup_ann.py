@@ -406,6 +406,26 @@ def test_keep_first_policy_preserves_one_copy(spark):
     assert dedup.duplicated_spans(clean_df, window=W).collect() == []
 
 
+def test_keep_first_numeric_ids_use_numeric_order(spark):
+    """The keeper is the lowest id in the SOURCE column's ordering:
+    with long ids 2 and 10, doc 2 keeps the run (a min over the
+    stringified ids would wrongly pick '10' < '2')."""
+    shared = " ".join(f"s{i}" for i in range(30))
+    docs = [
+        (10, shared + " " + " ".join(f"x{i}" for i in range(25))),
+        (2, " ".join(f"y{i}" for i in range(25)) + " " + shared),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cleaned, _ = dedup.dedup_repeated_substrings(
+        df, id_col="doc_id", window=20, keep_first=True
+    )
+    got = {r.doc_id: r for r in cleaned.collect()}
+    assert got[2].n_removed_tokens == 0  # numeric-lowest id keeps
+    assert shared in got[2].clean_text
+    assert got[10].n_removed_tokens == 30
+    assert shared not in got[10].clean_text
+
+
 def test_keep_first_randomized_against_replay(spark):
     """Randomized keep_first agreement with a from-first-principles
     replay of the per-posting exemption rule."""

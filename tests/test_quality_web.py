@@ -123,6 +123,27 @@ def test_decontaminate_counts_every_overlapping_window(spark):
     assert not got[2].is_contaminated
 
 
+def test_decontaminate_preserves_corpus_id_column(spark):
+    """A corpus column literally named 'id' (or id_col='id') must
+    survive: the join key gets a private name, so drop-by-name can
+    never delete the caller's columns."""
+    from entity_linking_spark.operators.quality import decontaminate
+
+    bench_text = " ".join(f"q{i}" for i in range(13))
+    df = spark.createDataFrame(
+        [(1, "keep-me", "x y z"), (2, "and-me", bench_text)],
+        "id long, ride_along string, text string",
+    )
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    got = {r.id: r for r in decontaminate(df, bench, id_col="id", window=13).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].ride_along == "keep-me" and not got[1].is_contaminated
+    assert got[2].is_contaminated
+    removed = decontaminate(df, bench, id_col="id", window=13, mode="remove")
+    assert removed.columns == ["id", "ride_along", "text"]
+    assert [r.id for r in removed.collect()] == [1]
+
+
 def test_decontaminate_rejects_bad_mode(spark):
     import pytest as _pytest
 
@@ -205,6 +226,23 @@ def test_url_dedup_keeps_min_id(spark):
     # id-less variant: one row per canonical key, arbitrary representative
     assert url_dedup(df, "url").select("canonical_url").distinct().count() == 2
     assert url_dedup(df, "url").count() == 2
+
+
+def test_url_dedup_null_urls_pass_through(spark):
+    """Docs without a URL must NOT be collapsed into one survivor —
+    null canonical forms are not 'the same URL'."""
+    rows = [
+        (1, "https://example.com/a"),
+        (2, None),
+        (3, None),
+        (4, "https://www.example.com/a"),  # dup of 1
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = url_dedup(df, "url", "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 3, 5]
+    # id-less branch: every null-url row survives too
+    assert url_dedup(df, "url").count() == 4
 
 
 # ----------------------------------------------------- C4 line cleaning

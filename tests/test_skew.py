@@ -78,6 +78,12 @@ def test_salted_joins_reject_right_and_full(spark):
             skew.adaptive_salted_join(
                 large, small, "key", salt_cols=["other"], how=how
             )
+    # every safe Spark spelling passes the guard (incl. the
+    # no-underscore aliases PySpark accepts everywhere)
+    for how in ("inner", "left", "leftouter", "left_outer",
+                "semi", "left_semi", "leftsemi",
+                "anti", "left_anti", "leftanti"):
+        skew._check_join_mode(how)
 
 
 def test_adaptive_salted_join_equals_plain(spark):

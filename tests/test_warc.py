@@ -118,6 +118,30 @@ def test_warc_poison_member_resyncs_at_next_member(spark, tmp_path):
     assert "[records_read=3]" in err[0].parse_error
 
 
+def test_warc_headerless_poison_member_spares_next_member(spark, tmp_path):
+    """A garbage member with NO CRLFCRLF anywhere makes the header scan
+    read ahead into its good successor before failing — only the
+    garbage member may be lost, not the good record glued onto it by
+    the scan (the resync must poison the member where the failed record
+    STARTED, re-parsing the successor's already-pulled bytes)."""
+    recs = _records(6, "g.example")
+    good = [warc._record_bytes(r, gzip_per_record=True) for r in recs]
+    poison = gzip.compress(b"GARBAGE WITH NO HEADER TERMINATOR AT ALL")
+    for splice_at in (0, 3):  # at file start and mid-file
+        blob = (
+            b"".join(good[:splice_at]) + poison + b"".join(good[splice_at:])
+        )
+        seg = tmp_path / f"seg{splice_at}.warc.gz"
+        seg.write_bytes(blob)
+        out = warc.read_warc(spark, str(seg)).collect()
+        ok = [r for r in out if r.parse_error is None]
+        err = [r for r in out if r.parse_error is not None]
+        # ALL 6 good records survive, incl. the one right after the poison
+        assert {r.url for r in ok} == {r["url"] for r in recs}, splice_at
+        assert len(err) == 1, splice_at
+        assert "bad WARC version line" in err[0].parse_error
+
+
 def test_warc_truncated_final_member_keeps_prefix(spark, tmp_path):
     """A segment truncated mid-record (killed upload) yields every
     complete record plus one error row stating the count."""
@@ -149,9 +173,11 @@ def test_warc_read_ignores_inprogress_leftovers(spark, tmp_path):
     assert len({r.url for r in out}) == 5  # no duplicates
 
 
-def test_warc_write_sweeps_stale_inprogress(spark, tmp_path):
-    """write_warc removes a stale .inprogress twin of its segment when
-    it commits (the Python-level cleanup never ran for a killed JVM)."""
+def test_warc_write_leaves_foreign_inprogress_alone(spark, tmp_path):
+    """write_warc must NOT sweep sibling .inprogress files on commit:
+    under task speculation that file can be another LIVE attempt of the
+    same partition, and deleting it would fail that attempt's rename.
+    Stale leftovers are harmless — the read side excludes them."""
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -171,7 +197,23 @@ def test_warc_write_sweeps_stale_inprogress(spark, tmp_path):
     res = warc.write_warc(df.repartition(1), str(out_dir)).collect()
     assert len(res) == 1 and res[0].n_records == 4
     names = {p.name for p in out_dir.iterdir()}
-    assert names == {"part-00000.warc.gz"}, names  # stale twin swept
+    # committed segment landed; the foreign in-progress file untouched
+    assert names == {"part-00000.warc.gz", stale.name}, names
+    # and a re-ingest of the directory sees only the committed rows
+    out = warc.read_warc(spark, str(out_dir)).collect()
+    assert len(out) == 4 and all(r.parse_error is None for r in out)
+
+
+def test_warc_read_matches_wet_wat_style_names(spark, tmp_path):
+    """Common Crawl's derived files are WARC-format with names like
+    '*.warc.wet.gz' — the directory listing must match them (a plain
+    extension whitelist of .warc/.warc.gz would silently return zero
+    rows for a WET/WAT directory)."""
+    recs = _records(3, "wet.example")
+    warc.write_warc_file(str(tmp_path / "seg-00000.warc.wet.gz"), recs)
+    out = warc.read_warc(spark, str(tmp_path)).collect()
+    assert len(out) == 3
+    assert all(r.parse_error is None for r in out)
 
 
 def test_warc_documents_feeds_extraction(spark, tmp_path):
