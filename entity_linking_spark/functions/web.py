@@ -112,10 +112,23 @@ def url_dedup(
 
     out = df.withColumn("canonical_url", canonical_url(url_col))
     if id_col is None:
-        return out.where(F.col(url_col).isNull()).unionByName(
-            out.where(F.col(url_col).isNotNull()).dropDuplicates(
-                ["canonical_url"]
+        # one pass, not a null/non-null union (which would consume the
+        # full wide df twice): null-url rows get a per-row-unique dedup
+        # key, so each survives; the representative per canonical key is
+        # arbitrary-but-deterministic-per-shuffle either way
+        return (
+            out.withColumn(
+                "_dk",
+                F.coalesce(
+                    F.col("canonical_url"),
+                    F.concat(
+                        F.lit("\x00null\x00"),
+                        F.monotonically_increasing_id().cast("string"),
+                    ),
+                ),
             )
+            .dropDuplicates(["_dk"])
+            .drop("_dk")
         )
     w = Window.partitionBy("canonical_url").orderBy(F.col(id_col).asc())
     victims = (

@@ -20,7 +20,8 @@ Scale shape — the global prefix sum is the whole problem, and a naive
 through ONE task. Instead the classic two-pass decomposition:
 
 1. range-repartition the NARROW (okey, id, n_toks) projection by the
-   hash order and sort within partitions — Spark's parallel sort;
+   hash order (the order WITHIN a partition is established later by
+   the window's own sort — sorting twice would be waste);
 2. per-partition token subtotals (one tiny row per partition) come to
    the driver — bounded by the partition count, never by corpus size —
    and turn into per-partition starting offsets;
@@ -96,15 +97,15 @@ def pack_sequences(
             ).cast("long").alias("_nt"),
         )
     )
-    if n_partitions:
+    if n_partitions is not None:
         narrow = narrow.repartitionByRange(n_partitions, "_okey", "_id")
     else:
         narrow = narrow.repartitionByRange("_okey", "_id")
-    narrow = (
-        narrow.sortWithinPartitions("_okey", "_id")
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
+    # no sortWithinPartitions here: nothing consumes intra-partition
+    # order before the window, whose own (_pid, _okey, _id) sort after
+    # the pid exchange establishes it — an eager sort into the cache
+    # would be a wasted O(n log n) pass over the whole projection
+    narrow = narrow.withColumn("_pid", F.spark_partition_id()).persist()
     # driver-bounded: ONE row per partition (the prefix-sum subtotals)
     psums = {
         r._pid: r.s

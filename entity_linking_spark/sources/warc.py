@@ -376,14 +376,21 @@ def read_warc(
             # leftovers of a killed writer attempt are excluded (write_warc
             # commits by rename, so an .inprogress twin of a committed
             # segment means duplicate + truncated rows on re-ingest).
-            # Matching stays a '.warc' substring, NOT an extension
-            # whitelist: Common Crawl's derived WET/WAT files are
-            # WARC-format too and are named '*.warc.wet.gz' / '*.warc.wat.gz'
+            # The extension list covers Common Crawl's derived WET/WAT
+            # files (WARC-format, '*.warc.wet.gz' / '*.warc.wat.gz') but
+            # stays a whitelist — a bare '.warc' substring would also
+            # ingest manifest/sidecar files ('warc.paths.gz', '*.sha256',
+            # Hadoop '.crc') as pure poison rows
+            warc_exts = (
+                ".warc", ".warc.gz",
+                ".warc.wet", ".warc.wet.gz",
+                ".warc.wat", ".warc.wat.gz",
+            )
             file_list = sorted(
                 f.path if "://" not in paths else f"{paths.split('://')[0]}://{f.path}"
                 for f in fs.get_file_info(sel)
                 if f.is_file
-                and ".warc" in f.base_name
+                and f.base_name.endswith(warc_exts)
                 and ".inprogress" not in f.base_name
             )
         else:

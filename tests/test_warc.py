@@ -204,13 +204,16 @@ def test_warc_write_leaves_foreign_inprogress_alone(spark, tmp_path):
     assert len(out) == 4 and all(r.parse_error is None for r in out)
 
 
-def test_warc_read_matches_wet_wat_style_names(spark, tmp_path):
+def test_warc_read_matches_wet_wat_but_skips_sidecars(spark, tmp_path):
     """Common Crawl's derived files are WARC-format with names like
-    '*.warc.wet.gz' — the directory listing must match them (a plain
-    extension whitelist of .warc/.warc.gz would silently return zero
-    rows for a WET/WAT directory)."""
+    '*.warc.wet.gz' — the directory listing must match them — while
+    manifest/checksum sidecars ('warc.paths.gz', '*.sha256', Hadoop
+    '.crc') must be skipped, not ingested as poison rows."""
     recs = _records(3, "wet.example")
     warc.write_warc_file(str(tmp_path / "seg-00000.warc.wet.gz"), recs)
+    (tmp_path / "warc.paths.gz").write_bytes(gzip.compress(b"a/b.warc.gz\n"))
+    (tmp_path / "seg-00000.warc.wet.gz.sha256").write_bytes(b"deadbeef\n")
+    (tmp_path / ".seg-00000.warc.wet.gz.crc").write_bytes(b"\x00\x01")
     out = warc.read_warc(spark, str(tmp_path)).collect()
     assert len(out) == 3
     assert all(r.parse_error is None for r in out)
