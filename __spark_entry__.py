@@ -15,7 +15,10 @@ oracle_sql()   — matching DuckDB SQL for every SQL-expressible operator.
 
 Operator-id -> query-name mapping notes (round-2/3 merges, each op id
 kept visible in its query's name): A1/A2/A3 -> a1_a2_a3_group_count_
-distinct; A7+A9 -> a7_a9_hits_recall_at_k; W2+W3 -> w2_w3_w5_window_
+distinct; A7+A8+A9 -> a7_a8_a9_metric_counters (A8 folded in round 5,
+freeing the slot that now holds the oracle-backed lm_perplexity:
+CCNet-style pruned-bigram-LM scoring with a full train+score DuckDB
+twin); W2+W3 -> w2_w3_w5_window_
 sort_suite; SO1/2/3 -> so1_so2_so3_setops; F7/F10/F11/F12/F16 ->
 f7_f10_f11_f12_f16_scalar_chain; F9+F13 -> f9_f13_window_slice_offset;
 A11 + the text-quality / token-count / lang-id / fingerprint ops ->

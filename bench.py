@@ -53,6 +53,7 @@ def main() -> None:
         "decontaminate_ngram",
         "c4_line_clean",
         "gopher_quality_signals",
+        "lm_perplexity",
     ]
     all_q = Q.all_queries()
     times: dict[str, float] = {}

@@ -1,0 +1,264 @@
+"""N-gram language-model perplexity scoring for corpus curation.
+
+Beyond-reference operator (the reference repo has no corpus-curation
+stage): the CCNet-style quality pass of public LLM-data pipelines
+(Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data") — score every document's perplexity
+under a small n-gram language model trained on a trusted slice, then
+keep the low-perplexity head/middle of the distribution and drop the
+gibberish tail. CCNet uses a KenLM 5-gram; the analog here is an
+interpolated add-k bigram LM whose every number is exact count
+arithmetic, so a DuckDB oracle can replay training AND scoring from
+first principles (the gate row does).
+
+Model shape — deliberately the shape of a PRUNED real LM artifact:
+  - vocabulary capped at the top ``vocab_size`` tokens by count
+    (deterministic ties: count DESC, token ASC); everything else maps
+    to the ``<unk>`` sentinel, exactly like an ARPA model's cutoff;
+  - bigram table capped at the top ``bigram_size`` pairs by count
+    (ties: count DESC, prev ASC, cur ASC) — a missing bigram scores
+    with c2 = 0 through the same smoothing formula, which is what
+    count-pruning an interpolated model means;
+  - P1(w)   = (c1(w) + k) / (N + k * V')          (add-k unigram)
+  - P2(w|p) = (c2(p,w) + k) / (c1(p) + k * V')    (add-k bigram)
+  - p(token) = lam * P2 + (1 - lam) * P1, first token P1 only;
+    ppl(doc) = exp(mean(-ln p)) over the doc's single-space-split
+    lowered tokens. V' = |vocab| + 1 (the unk class), N = total
+    trained tokens.
+
+Scale design: the trained model is a BOUNDED artifact (vocab_size +
+bigram_size + 1 rows, independent of corpus size) — scoring therefore
+broadcasts every model table and runs as one whole-stage-codegen span
+per token: scan -> Generate (in-row (prev, cur) pair construction, no
+window, no self-join) -> broadcast hash joins -> partial per-doc
+aggregation. The only exchange in the scoring plan is the final
+groupBy(doc) — and because a document's token rows never leave the
+scan partition that generated them, map-side partial aggregation
+collapses them before the exchange, which carries ~one row per DOC,
+not per token. Training is two corpus passes of map-side-combined
+hash aggregates (raw counts -> vocab; mapped unigram + bigram counts)
+plus two bounded TakeOrderedAndProject top-k selections; the corpus
+is never joined against itself and no key can run hot on the build
+side (the build sides ARE the bounded model tables).
+
+Counts stay exact in doubles: every count < 2^53 by the time it is
+divided (a 100 TB corpus holds ~2^47 tokens), so Spark and DuckDB
+compute bit-identical probabilities from identical integers.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+UNK = "<unk>"
+
+
+class NgramLM(NamedTuple):
+    """A trained bigram LM: three bounded DataFrames + the smoothing
+    constants they were trained for. ``totals`` is one row
+    (n_tokens, v_eff). Persist the tables with ``df.write.parquet`` to
+    ship the model; all three broadcast at score time."""
+
+    vocab: DataFrame      # (token)
+    unigrams: DataFrame   # (token, c1) over vocab ∪ {<unk>}
+    bigrams: DataFrame    # (prev, cur, c2), count-pruned to bigram_size
+    totals: DataFrame     # (n_tokens, v_eff) — one row
+    k: float
+    lam: float
+
+
+def _pair_col(text_col: str) -> Column:
+    """Array of (cur, prev) structs over the lowered single-space token
+    split — prev is NULL for the first token. Built in-row (one
+    whole-stage-codegen transform), so no window shuffle and no
+    self-join is ever needed to see adjacent-token pairs."""
+    arr = F.split(F.lower(F.col(text_col)), " ")
+    return F.transform(
+        arr,
+        lambda t, i: F.struct(
+            t.alias("cur"),
+            # lambda index i is 0-based; element_at is 1-based, so
+            # element_at(arr, i) IS the previous token for i >= 1
+            F.when(i >= 1, F.element_at(arr, i)).alias("prev"),
+        ),
+    )
+
+
+def _map_to_vocab(pairs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Fold OOV tokens to UNK via two broadcast left joins (cur, prev).
+    The vocab side is bounded by vocab_size — always broadcastable."""
+    vb = F.broadcast(vocab)
+    return (
+        pairs.join(
+            vb.select(F.col("token").alias("cur"), F.lit(True).alias("_cin")),
+            "cur",
+            "left",
+        )
+        .join(
+            vb.select(F.col("token").alias("prev"), F.lit(True).alias("_pin")),
+            "prev",
+            "left",
+        )
+        .withColumn(
+            "cur_m", F.when(F.col("_cin").isNotNull(), F.col("cur")).otherwise(F.lit(UNK))
+        )
+        .withColumn(
+            "prev_m",
+            F.when(F.col("prev").isNull(), F.lit(None).cast("string"))
+            .when(F.col("_pin").isNotNull(), F.col("prev"))
+            .otherwise(F.lit(UNK)),
+        )
+        .drop("_cin", "_pin")
+    )
+
+
+def train_bigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    bigram_size: int = 500_000,
+    k: float = 1.0,
+    lam: float = 0.75,
+) -> NgramLM:
+    """Train the pruned interpolated bigram LM on ``docs``.
+
+    Two corpus passes (raw counts -> vocab; mapped counts), both
+    map-side-combined hash aggregates; top-k selections are
+    TakeOrderedAndProject (bounded driver results by construction).
+    Deterministic: ties at both caps break on the token strings.
+
+    Documents whose ``text_col`` is NULL are skipped. A literal
+    ``<unk>`` corpus token is folded into the UNK class like any OOV
+    token (the sentinel is excluded from the vocabulary), so the model
+    never confuses it with a real type.
+    """
+    if vocab_size < 1 or bigram_size < 0:
+        raise ValueError("vocab_size must be >= 1 and bigram_size >= 0")
+    if not 0.0 < k or not 0.0 <= lam <= 1.0:
+        raise ValueError("k must be > 0 and lam in [0, 1]")
+    pairs = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.explode(_pair_col(text_col)).alias("pc"))
+        .select(F.col("pc.cur").alias("cur"), F.col("pc.prev").alias("prev"))
+    )
+    vocab = (
+        pairs.where(F.col("cur") != UNK)
+        .groupBy(F.col("cur").alias("token"))
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(vocab_size)
+        .select("token")
+    )
+    pm = _map_to_vocab(pairs, vocab)
+    unigrams = pm.groupBy(F.col("cur_m").alias("token")).agg(
+        F.count("*").alias("c1")
+    )
+    bigrams = (
+        pm.where(F.col("prev_m").isNotNull())
+        .groupBy(F.col("prev_m").alias("prev"), F.col("cur_m").alias("cur"))
+        .agg(F.count("*").alias("c2"))
+        .orderBy(F.desc("c2"), "prev", "cur")
+        .limit(bigram_size)
+    )
+    totals = unigrams.agg(F.sum("c1").alias("n_tokens")).crossJoin(
+        vocab.agg((F.count("*") + F.lit(1)).cast("long").alias("v_eff"))
+    )
+    return NgramLM(vocab, unigrams, bigrams, totals, k, lam)
+
+
+def perplexity(
+    docs: DataFrame,
+    lm: NgramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_toks, ppl): per-document perplexity under ``lm``.
+
+    ppl is rounded to 4 decimals (the package's engine-neutral double
+    convention). The plan broadcasts all model tables; the single
+    exchange is the per-doc aggregation, collapsed map-side to ~one
+    row per document before it ships. Docs with NULL text are dropped
+    (score what exists; the filter wrapper keeps them out anyway).
+    """
+    k, lam = F.lit(lm.k), F.lit(lm.lam)
+    toks = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.explode(_pair_col(text_col)).alias("pc"))
+        .select("id", F.col("pc.cur").alias("cur"), F.col("pc.prev").alias("prev"))
+    )
+    tm = _map_to_vocab(toks, lm.vocab)
+    uni = F.broadcast(lm.unigrams)
+    scored = (
+        tm.join(
+            uni.select(F.col("token").alias("cur_m"), F.col("c1").alias("_c1_cur")),
+            "cur_m",
+            "left",
+        )
+        .join(
+            uni.select(F.col("token").alias("prev_m"), F.col("c1").alias("_c1_prev")),
+            "prev_m",
+            "left",
+        )
+        .join(
+            F.broadcast(lm.bigrams).select(
+                F.col("prev").alias("prev_m"),
+                F.col("cur").alias("cur_m"),
+                F.col("c2").alias("_c2"),
+            ),
+            ["prev_m", "cur_m"],
+            "left",
+        )
+        .crossJoin(F.broadcast(lm.totals))
+    )
+    p1 = (F.coalesce(F.col("_c1_cur"), F.lit(0)) + k) / (
+        F.col("n_tokens") + k * F.col("v_eff")
+    )
+    p2 = (F.coalesce(F.col("_c2"), F.lit(0)) + k) / (
+        F.coalesce(F.col("_c1_prev"), F.lit(0)) + k * F.col("v_eff")
+    )
+    p = F.when(F.col("prev_m").isNull(), p1).otherwise(lam * p2 + (1 - lam) * p1)
+    return (
+        scored.select("id", (-F.log(p)).alias("_nll"))
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(F.exp(F.avg("_nll")), 4).alias("ppl"),
+        )
+    )
+
+
+def perplexity_filter(
+    docs: DataFrame,
+    lm: NgramLM,
+    max_ppl: float,
+    min_ppl: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "remove",
+) -> DataFrame:
+    """The CCNet curation action: keep documents whose perplexity lies
+    in [min_ppl, max_ppl] — CCNet's head/middle buckets are exactly two
+    such bands chained. mode='flag' returns every doc with its ppl and
+    a ``kept`` flag instead of filtering (the audit shape the quality
+    operators share).
+
+    ``min_ppl`` is not decorative: ppl is NOT monotone in quality at
+    the OOV extreme. A doc whose every token is OOV folds to a pure
+    <unk> run, and since (unk, unk) is then a high-count bigram the doc
+    scores artificially LOW (pinned by tests/test_lm.py::
+    test_all_oov_doc_scores_artificially_well). A band, not a ceiling,
+    is the correct CCNet-shaped gate; corpora with heavy foreign-
+    vocabulary contamination should additionally gate on unk fraction
+    upstream."""
+    if mode not in ("remove", "flag"):
+        raise ValueError(f"mode must be 'remove' or 'flag', got {mode!r}")
+    ppl = perplexity(docs, lm, text_col, id_col).select(
+        F.col(id_col), "ppl"
+    )
+    joined = docs.join(ppl, id_col, "left")
+    kept = F.col("ppl").isNotNull() & F.col("ppl").between(min_ppl, max_ppl)
+    if mode == "flag":
+        return joined.withColumn("kept", kept)
+    return joined.where(kept)

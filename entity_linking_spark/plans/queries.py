@@ -262,21 +262,36 @@ def a6_cumulative_rank_curve(spark, sf_dir):
 
 
 @query(
-    "a7_a9_hits_recall_at_k",
-    """SELECT CAST(sum(CASE WHEN label <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_1,
-              CAST(sum(CASE WHEN label <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS hits_4,
-              CAST(sum(CASE WHEN label <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS hits_8,
-              count(*) AS total,
-              round(avg(CASE WHEN label <= 1 THEN 1.0 ELSE 0.0 END), 4) AS recall_1,
-              round(avg(CASE WHEN label <= 4 THEN 1.0 ELSE 0.0 END), 4) AS recall_4,
-              round(avg(CASE WHEN label <= 8 THEN 1.0 ELSE 0.0 END), 4) AS recall_8
-       FROM embeddings""",
+    "a7_a8_a9_metric_counters",
+    """SELECT * FROM
+       (SELECT CAST(sum(CASE WHEN label <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_1,
+               CAST(sum(CASE WHEN label <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS hits_4,
+               CAST(sum(CASE WHEN label <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS hits_8,
+               count(*) AS total,
+               round(avg(CASE WHEN label <= 1 THEN 1.0 ELSE 0.0 END), 4) AS recall_1,
+               round(avg(CASE WHEN label <= 4 THEN 1.0 ELSE 0.0 END), 4) AS recall_4,
+               round(avg(CASE WHEN label <= 8 THEN 1.0 ELSE 0.0 END), 4) AS recall_8
+        FROM embeddings)
+       CROSS JOIN
+       (WITH pairs AS (
+          SELECT e1.label = e2.label AS is_match,
+                 (e1.vec_id + e2.vec_id) % 3 = 0 AS pred
+          FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+          WHERE e1.vec_id < 60 AND e2.vec_id < 60)
+        SELECT CAST(sum(CASE WHEN pred AND is_match THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN pred AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN NOT pred AND is_match THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM pairs)""",
 )
-def a7_a9_hits_recall_at_k(spark, sf_dir):
+def a7_a8_a9_metric_counters(spark, sf_dir):
     """A7 hits@{1,4,8} counters (zeshel_utils.py:70-99) + A9 recall@k
-    fractions (main_dense.py:455-475) — one single-pass aggregate."""
+    fractions (main_dense.py:455-475) + A8 pairwise TP/FP/FN counters on
+    a deterministic synthetic predictor (el_main.py:303-306,665-670) —
+    two single-row aggregates cross-joined into one gate row (round-5
+    slot merge, the p5/p6 and f9/f13 move; both metric families keep
+    full oracle coverage)."""
     e = _t(spark, sf_dir, "embeddings")
-    return e.agg(
+    hits = e.agg(
         F.sum((F.col("label") <= 1).cast("long")).alias("hits_1"),
         F.sum((F.col("label") <= 4).cast("long")).alias("hits_4"),
         F.sum((F.col("label") <= 8).cast("long")).alias("hits_8"),
@@ -286,36 +301,20 @@ def a7_a9_hits_recall_at_k(spark, sf_dir):
             for k in (1, 4, 8)
         ],
     )
-
-
-@query(
-    "a8_pairwise_f1_counters",
-    """WITH pairs AS (
-         SELECT e1.label = e2.label AS is_match,
-                (e1.vec_id + e2.vec_id) % 3 = 0 AS pred
-         FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
-         WHERE e1.vec_id < 60 AND e2.vec_id < 60)
-       SELECT CAST(sum(CASE WHEN pred AND is_match THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-              CAST(sum(CASE WHEN pred AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-              CAST(sum(CASE WHEN NOT pred AND is_match THEN 1 ELSE 0 END) AS BIGINT) AS fn
-       FROM pairs""",
-)
-def a8_pairwise_f1_counters(spark, sf_dir):
-    """A8: TP/FP/FN counters — the acceptance-metric formula
-    (el_main.py:303-306,665-670) on a deterministic synthetic predictor."""
-    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 60)
-    e1 = e.select(F.col("vec_id").alias("id1"), F.col("label").alias("l1"))
-    e2 = e.select(F.col("vec_id").alias("id2"), F.col("label").alias("l2"))
+    sub = e.where(F.col("vec_id") < 60)
+    e1 = sub.select(F.col("vec_id").alias("id1"), F.col("label").alias("l1"))
+    e2 = sub.select(F.col("vec_id").alias("id2"), F.col("label").alias("l2"))
     pairs = (
         e1.join(e2, F.col("id1") < F.col("id2"))
         .withColumn("is_match", F.col("l1") == F.col("l2"))
         .withColumn("pred", (F.col("id1") + F.col("id2")) % 3 == 0)
     )
-    return pairs.agg(
+    f1 = pairs.agg(
         F.sum((F.col("pred") & F.col("is_match")).cast("long")).alias("tp"),
         F.sum((F.col("pred") & ~F.col("is_match")).cast("long")).alias("fp"),
         F.sum((~F.col("pred") & F.col("is_match")).cast("long")).alias("fn"),
     )
+    return hits.crossJoin(f1)
 
 
 # (a11_num_tokens retired round 5: text_analysis_suite already computes
@@ -1239,6 +1238,75 @@ def c4_line_clean_gate(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# LM-perplexity oracle: replays operators/lm.py end to end — train the
+# pruned interpolated add-1 bigram LM (vocab top-512 by count, tie-break
+# token ASC; bigrams top-2048, tie-break (prev, cur) ASC; every OOV
+# token folds to '<unk>') on the documents corpus, then score every
+# document: p(first) = P1, p(rest) = 0.75*P2 + 0.25*P1 with
+# P1 = (c1+1)/(N+V'), P2 = (c2+1)/(c1_prev+V'), ppl = exp(mean(-ln p)).
+# All inputs to every division are exact integers (counts < 2^53), so
+# both engines divide identical doubles; ln/exp agree to ~1 ulp and the
+# round-4 output absorbs it (the softmax/cosine rows' precedent).
+_LM_PPL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS arr FROM documents),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(arr)),
+                i -> {'cur': arr[i], 'prev': CASE WHEN i > 1 THEN arr[i-1] END})) AS pc
+  FROM toks),
+p AS (SELECT doc_id, pc.cur AS cur, pc.prev AS prev FROM pairs),
+vocab AS (
+  SELECT cur AS token FROM p WHERE cur <> '<unk>'
+  GROUP BY cur ORDER BY count(*) DESC, cur LIMIT 512),
+pm AS (
+  SELECT doc_id,
+         CASE WHEN cur IN (SELECT token FROM vocab) THEN cur ELSE '<unk>' END AS cur_m,
+         CASE WHEN prev IS NULL THEN NULL
+              WHEN prev IN (SELECT token FROM vocab) THEN prev ELSE '<unk>' END AS prev_m
+  FROM p),
+uni AS (SELECT cur_m AS token, count(*) AS c1 FROM pm GROUP BY cur_m),
+bi AS (SELECT prev_m AS prev, cur_m AS cur, count(*) AS c2 FROM pm
+       WHERE prev_m IS NOT NULL GROUP BY prev_m, cur_m
+       ORDER BY count(*) DESC, prev_m, cur_m LIMIT 2048),
+tot AS (SELECT CAST((SELECT sum(c1) FROM uni) AS BIGINT) AS n_tokens,
+               (SELECT count(*) FROM vocab) + 1 AS v_eff),
+sc AS (
+  SELECT pm.doc_id,
+         CASE WHEN pm.prev_m IS NULL
+              THEN (coalesce(uc.c1, 0) + 1.0) / (tot.n_tokens + 1.0 * tot.v_eff)
+              ELSE 0.75 * ((coalesce(b.c2, 0) + 1.0)
+                           / (coalesce(up.c1, 0) + 1.0 * tot.v_eff))
+                   + 0.25 * ((coalesce(uc.c1, 0) + 1.0)
+                             / (tot.n_tokens + 1.0 * tot.v_eff))
+         END AS prob
+  FROM pm
+  LEFT JOIN uni uc ON uc.token = pm.cur_m
+  LEFT JOIN uni up ON up.token = pm.prev_m
+  LEFT JOIN bi b ON b.prev = pm.prev_m AND b.cur = pm.cur_m
+  CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_toks, round(exp(avg(-ln(prob))), 4) AS ppl
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("lm_perplexity", _LM_PPL_ORACLE)
+def lm_perplexity(spark, sf_dir):
+    """Beyond-reference D14: CCNet-style LM perplexity scoring (Wenzek
+    et al. 2020, operators/lm.py) — train the pruned interpolated add-1
+    bigram LM on the documents corpus (vocab 512 / bigrams 2048, small
+    caps so the gate genuinely exercises the <unk> fold and the
+    count-pruned-bigram backoff), score every document, report
+    (doc_id, n_toks, ppl). The scoring plan broadcasts the bounded
+    model tables; its one exchange is the per-doc aggregation,
+    collapsed map-side to one row per document."""
+    from entity_linking_spark.operators.lm import perplexity, train_bigram_lm
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = train_bigram_lm(d, vocab_size=512, bigram_size=2048, k=1.0, lam=0.75)
+    return perplexity(d, lm).orderBy("doc_id")
 
 
 @query(
