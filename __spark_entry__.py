@@ -27,16 +27,20 @@ text_analysis_suite; S1/S2/S4 -> s1_s4_jsonl_bz2_scan; J4 semi + anti
 oracle-backed j5_bm25_topk — J5 was rows-only through round 2);
 P5 + P6 -> p5_p6_array_filter_remove (round 4, freeing the slot that
 now holds the oracle-backed mention_detect_greedy: the beyond-broadcast
-join mention path with a recursive-CTE greedy-scan DuckDB twin);
+join mention path with a recursive-CTE greedy-scan DuckDB twin; at
+round-5 end P5/P6 folded further into the p3..p7 filter suite, freeing
+the slot that now holds the oracle-backed nb_quality_classifier);
 F9 + F13 -> merged into the f7 scalar chain (round 5, freeing the slot
 that now holds the oracle-backed duplicated_span_removal: ExactSubstr
 detection + span removal with a full DuckDB hash/islands/slice twin);
 ann_lsh_topk + ann_ivf_topk -> ann_lsh_ivf_topk (round 5, freeing a
 rows-only slot for the warc_roundtrip container check);
-P3 + P4 -> p3_p4_p7_filter_suite (round 5, tagged union so each
+P3 + P4 -> p3_p4_p5_p6_p7_filter_suite (round 5, tagged union so each
 filter keeps its standalone selectivity; the freed slot holds the
 oracle-backed gopher_repetition_signals quality operator; P7 folded in
-late round 5, freeing the slot that holds gopher_quality_signals);
+late round 5, freeing the slot that holds gopher_quality_signals;
+P5/P6 folded in at round-5 end, freeing the slot that holds
+nb_quality_classifier);
 W5/W6 -> folded into w2_w3_w5_window_sort_suite (round 5; the freed
 slot holds the oracle-backed c4_line_clean web-cleaning operator);
 R1 + R2 -> r1_r2_sampling_hash_split (round 5, the hash split now

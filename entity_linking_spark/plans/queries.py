@@ -53,7 +53,7 @@ def all_oracles() -> dict[str, str]:
 # ---------------------------------------------------------------- filters
 
 @query(
-    "p3_p4_p7_filter_suite",
+    "p3_p4_p5_p6_p7_filter_suite",
     """SELECT 'p3' AS which, CAST(doc_id AS VARCHAR) AS k,
               CAST(len(string_split(text, ' ')) AS VARCHAR) AS v
        FROM documents WHERE len(string_split(text, ' ')) >= 60
@@ -63,17 +63,35 @@ def all_oracles() -> dict[str, str]:
        FROM documents
        WHERE NOT (lower(text) LIKE '%vector%' OR lower(text) LIKE '%stream%')
        UNION ALL
+       SELECT 'p5' AS which, CAST(doc_id AS VARCHAR) AS k,
+              array_to_string(list_filter(string_split(text, ' '),
+                  x -> x NOT IN ('the','a','of','and','on'))[1:8], ' ')
+              || '|' ||
+              CAST(len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '),
+                  x -> x NOT IN ('the','a','of','and','on'))) AS VARCHAR) AS v
+       FROM documents WHERE doc_id < 100
+       UNION ALL
+       SELECT 'p6' AS which, CAST(doc_id AS VARCHAR) AS k,
+              array_to_string(list_filter(string_split(text, ' '), x -> x <> 'the'), ' ') AS v
+       FROM documents WHERE doc_id < 100
+       UNION ALL
        SELECT 'p7' AS which, CAST(event_id AS VARCHAR) AS k, event_type AS v
        FROM events WHERE event_type NOT IN ('error', 'signup')
        ORDER BY which, k""",
 )
-def p3_p4_p7_filter_suite(spark, sf_dir):
+def p3_p4_p5_p6_p7_filter_suite(spark, sf_dir):
     """P3 + P4 merged (round 5, freeing a slot for the oracle-backed
     gopher_repetition_signals) + P7 folded in late round 5 (freeing a
-    slot for gopher_quality_signals — the w2/w3/w5 string-k/v merge
-    shape): the min-tokens length gate (data_ingestion.py:118-127), the
+    slot for gopher_quality_signals) + P5/P6 folded in at round-5 end
+    (freeing the slot that now holds nb_quality_classifier — the same
+    one-in-one-out move as the r4 p5/p6 and r5 a8 merges): the
+    min-tokens length gate (data_ingestion.py:118-127), the
     disambiguation-page style contains-filter (data_ingestion.py:
-    130-155), and the stop-word anti-filter (el_main.py:534-537),
+    130-155), the emoji-alias-style higher-order array filter
+    (data_ingestion.py:81-94; stand-in banned set is a stopword list —
+    this corpus has no emoji) with its removed-count packed after a '|'
+    in the same value, the NIL-token array_remove (el_process.py
+    analog), and the stop-word anti-filter (el_main.py:534-537) —
     tagged and unioned so EACH filter keeps its original standalone
     selectivity (a conjunction would pass ~1 doc at sf0.01 — too
     degenerate to gate on). Same pushdown shape per branch: one scan,
@@ -88,17 +106,38 @@ def p3_p4_p7_filter_suite(spark, sf_dir):
     p4 = d.where(~(t.contains("vector") | t.contains("stream"))).select(
         F.lit("p4").alias("which"), did, n.cast("string").alias("v")
     )
+    banned = ("the", "a", "of", "and", "on")
+    toks = F.split(F.col("text"), " ")
+    kept = F.filter(toks, lambda x: ~x.isin(*banned))
+    head100 = d.where(F.col("doc_id") < 100)
+    p5 = head100.select(
+        F.lit("p5").alias("which"),
+        did,
+        F.concat(
+            F.concat_ws(" ", F.slice(kept, 1, 8)),
+            F.lit("|"),
+            (F.size(toks) - F.size(kept)).cast("string"),
+        ).alias("v"),
+    )
+    p6 = head100.select(
+        F.lit("p6").alias("which"),
+        did,
+        F.concat_ws(" ", F.array_remove(toks, "the")).alias("v"),
+    )
     e = _t(spark, sf_dir, "events")
     p7 = e.where(~F.col("event_type").isin("error", "signup")).select(
         F.lit("p7").alias("which"),
         F.col("event_id").cast("string").alias("k"),
         F.col("event_type").alias("v"),
     )
-    return p3.unionAll(p4).unionAll(p7).orderBy("which", "k")
+    return (
+        p3.unionAll(p4).unionAll(p5).unionAll(p6).unionAll(p7)
+        .orderBy("which", "k")
+    )
 
 
-# (p6_array_remove_nil merged into p5_p6_array_filter_remove above,
-# round 4 — both op ids still exercised and visible in the slot name)
+# (p6_array_remove_nil merged into the p3..p7 filter suite above —
+# all five P-op ids still exercised and visible in the slot name)
 
 
 # ------------------------------------------------------------------ joins
@@ -1309,6 +1348,79 @@ def lm_perplexity(spark, sf_dir):
     return perplexity(d, lm).orderBy("doc_id")
 
 
+# NB-quality-classifier oracle: replays operators/classify.py end to
+# end — train the pruned multinomial NB model (vocab top-256 by count,
+# tie-break token ASC; OOV -> '<unk>'; deterministic labels
+# doc_id % 3 = 0 so both classes are always non-empty) on the
+# documents corpus, then score every document:
+#   llr(w) = ln((c_pos+1)/(n_pos+V')) - ln((c_neg+1)/(n_neg+V'))
+#   log_odds = ln(d_pos/d_neg) + sum(llr), mean_llr = avg(llr).
+# Every division's inputs are exact integers (counts < 2^53), so both
+# engines divide identical doubles; ln agrees to ~1 ulp and the
+# round-4 output absorbs it (the lm_perplexity / softmax precedent).
+_NB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, doc_id % 3 = 0 AS lab,
+         unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL),
+vocab AS (
+  SELECT tok AS token FROM toks WHERE tok <> '<unk>'
+  GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 256),
+tm AS (
+  SELECT doc_id, lab,
+         CASE WHEN tok IN (SELECT token FROM vocab) THEN tok
+              ELSE '<unk>' END AS tok_m
+  FROM toks),
+lik AS (
+  SELECT tok_m AS token,
+         CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+         CAST(sum(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+  FROM tm GROUP BY tok_m),
+tot AS (
+  SELECT CAST((SELECT sum(c_pos) FROM lik) AS BIGINT) AS n_pos,
+         CAST((SELECT sum(c_neg) FROM lik) AS BIGINT) AS n_neg,
+         (SELECT count(*) FROM vocab) + 1 AS v_eff,
+         CAST((SELECT count(*) FROM documents
+               WHERE text IS NOT NULL AND doc_id % 3 = 0) AS BIGINT) AS d_pos,
+         CAST((SELECT count(*) FROM documents
+               WHERE text IS NOT NULL AND doc_id % 3 <> 0) AS BIGINT) AS d_neg),
+sc AS (
+  SELECT tm.doc_id,
+         ln((coalesce(l.c_pos, 0) + 1.0) / (tot.n_pos + 1.0 * tot.v_eff))
+       - ln((coalesce(l.c_neg, 0) + 1.0) / (tot.n_neg + 1.0 * tot.v_eff)) AS llr,
+         ln(1.0 * tot.d_pos / tot.d_neg) AS prior
+  FROM tm LEFT JOIN lik l ON l.token = tm.tok_m CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_toks,
+       round(any_value(prior) + sum(llr), 4) + 0.0 AS log_odds,
+       round(avg(llr), 4) + 0.0 AS mean_llr
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("nb_quality_classifier", _NB_ORACLE)
+def nb_quality_classifier(spark, sf_dir):
+    """Beyond-reference D15: GPT-3-style quality-classifier scoring
+    (Brown et al. 2020 Appendix A, operators/classify.py) — train the
+    pruned multinomial NB quality model on the documents corpus
+    (vocab 256, small cap so the gate genuinely exercises the <unk>
+    fold; deterministic labels doc_id % 3 = 0), score every document,
+    report (doc_id, n_toks, log_odds, mean_llr). The scoring plan
+    broadcasts the bounded model tables; its one exchange is the
+    per-doc aggregation, collapsed map-side to one row per document.
+    The Pareto importance-sampling keep decision on these scores is
+    pytest-pinned (its xxhash64 draw is not DuckDB-replayable — the
+    weighted_mix fractional-path limitation, documented there)."""
+    from entity_linking_spark.operators.classify import (
+        nb_log_odds,
+        train_nb_quality,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = d.withColumn("label", F.col("doc_id") % 3 == 0)
+    model = train_nb_quality(labeled, vocab_size=256, k=1.0)
+    return nb_log_odds(d, model).orderBy("doc_id")
+
+
 @query(
     "ann_cosine_topk",
     """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -1353,37 +1465,9 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
-@query(
-    "p5_p6_array_filter_remove",
-    """SELECT doc_id,
-              len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '), x -> x NOT IN ('the','a','of','and','on'))) AS n_removed,
-              array_to_string(list_filter(string_split(text, ' '), x -> x NOT IN ('the','a','of','and','on'))[1:8], ' ') AS kept_head,
-              array_to_string(list_filter(string_split(text, ' '), x -> x <> 'the'), ' ') AS cleaned
-       FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
-)
-def p5_p6_array_filter_remove(spark, sf_dir):
-    """P5 + P6 merged (round 4, freeing the slot that now holds the
-    oracle-backed mention_detect_greedy — the same one-in-one-out
-    pattern as the r3 j4 merge). P5: drop array elements found in a
-    broadcast bad-token set — the emoji-alias filter shape
-    (data_ingestion.py:81-94 drops aliases in emoji.UNICODE_EMOJI) as a
-    higher-order array filter; the stand-in set is a stopword list
-    since this corpus has no emoji. P6: NIL-token array_remove
-    (el_process.py array_remove analog) over the same token arrays."""
-    banned = ("the", "a", "of", "and", "on")
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    kept = F.filter(toks, lambda x: ~x.isin(*banned))
-    return (
-        d.where(F.col("doc_id") < 100)
-        .select(
-            "doc_id",
-            (F.size(toks) - F.size(kept)).alias("n_removed"),
-            F.concat_ws(" ", F.slice(kept, 1, 8)).alias("kept_head"),
-            F.concat_ws(" ", F.array_remove(toks, "the")).alias("cleaned"),
-        )
-        .orderBy("doc_id")
-    )
+# (p5_p6_array_filter_remove folded into p3_p4_p5_p6_p7_filter_suite at
+# round-5 end — both op ids still exercised and visible in that slot's
+# name; the freed slot holds the oracle-backed nb_quality_classifier)
 
 
 @query(
