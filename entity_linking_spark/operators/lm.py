@@ -229,6 +229,73 @@ def perplexity(
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    lm: NgramLM,
+    head_frac: float = 1.0 / 3.0,
+    middle_frac: float = 1.0 / 3.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """(id, n_toks, ppl, bucket): CCNet's actual gate shape — rank every
+    document by perplexity and split the corpus into 'head' (lowest-ppl
+    ``head_frac``), 'middle' (next ``middle_frac``) and 'tail' buckets
+    (Wenzek et al. 2020 §4.4 keep head+middle per language). Fractions
+    are of the SCORED corpus, exact by global rank, ties broken on
+    (ppl, id) so the split is total-order deterministic.
+
+    Scale design: a naive percent_rank() over a global ORDER BY ppl
+    window pulls the whole corpus into ONE task — the classic
+    scale-killer. This is instead the package's two-pass exact global
+    rank (the pack_sequences prefix-sum shape): range-partition the
+    narrow (id, n_toks, ppl) projection by (ppl, id), bring ONE count
+    row per partition to the driver, broadcast the prefix offsets, and
+    add each partition's local row_number — every partition ranks
+    independently, nothing wide ever reaches one task, and document
+    text never enters the exchange."""
+    if not (0.0 <= head_frac and 0.0 <= middle_frac
+            and head_frac + middle_frac <= 1.0):
+        raise ValueError(
+            f"head_frac/middle_frac must be >= 0 and sum <= 1, got "
+            f"{head_frac!r}/{middle_frac!r}"
+        )
+    from pyspark.sql.window import Window
+
+    scored = perplexity(docs, lm, text_col, id_col)
+    if n_partitions is not None:
+        narrow = scored.repartitionByRange(n_partitions, "ppl", id_col)
+    else:
+        narrow = scored.repartitionByRange("ppl", id_col)
+    narrow = narrow.withColumn("_pid", F.spark_partition_id()).persist()
+    # driver-bounded: ONE row per partition (the prefix-sum counts)
+    counts = {
+        r._pid: r.c
+        for r in narrow.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    cut1, cut2 = int(acc * head_frac), int(acc * (head_frac + middle_frac))
+    spark = docs.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_pid int, _poff long")
+    )
+    w = Window.partitionBy("_pid").orderBy("ppl", id_col)
+    rank = F.row_number().over(w) + F.col("_poff")
+    bucket = (
+        F.when(rank <= cut1, "head")
+        .when(rank <= cut2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        narrow.join(off_df, "_pid")
+        .withColumn("bucket", bucket)
+        .drop("_pid", "_poff")
+    )
+
+
 def perplexity_filter(
     docs: DataFrame,
     lm: NgramLM,

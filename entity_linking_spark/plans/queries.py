@@ -1325,27 +1325,47 @@ sc AS (
   LEFT JOIN uni uc ON uc.token = pm.cur_m
   LEFT JOIN uni up ON up.token = pm.prev_m
   LEFT JOIN bi b ON b.prev = pm.prev_m AND b.cur = pm.cur_m
-  CROSS JOIN tot)
-SELECT doc_id, count(*) AS n_toks, round(exp(avg(-ln(prob))), 4) AS ppl
-FROM sc GROUP BY doc_id ORDER BY doc_id
+  CROSS JOIN tot),
+scored AS (
+  SELECT doc_id, count(*) AS n_toks, round(exp(avg(-ln(prob))), 4) AS ppl
+  FROM sc GROUP BY doc_id),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY ppl, doc_id) AS rn,
+         count(*) OVER () AS cnt
+  FROM scored)
+SELECT doc_id, n_toks, ppl,
+       CASE WHEN rn <= CAST(floor(cnt * 0.25) AS BIGINT) THEN 'head'
+            WHEN rn <= CAST(floor(cnt * 0.75) AS BIGINT) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked ORDER BY doc_id
 """
 
 
 @query("lm_perplexity", _LM_PPL_ORACLE)
 def lm_perplexity(spark, sf_dir):
-    """Beyond-reference D14: CCNet-style LM perplexity scoring (Wenzek
-    et al. 2020, operators/lm.py) — train the pruned interpolated add-1
+    """Beyond-reference D14: the full CCNet quality pass (Wenzek et al.
+    2020, operators/lm.py) — train the pruned interpolated add-1
     bigram LM on the documents corpus (vocab 512 / bigrams 2048, small
     caps so the gate genuinely exercises the <unk> fold and the
-    count-pruned-bigram backoff), score every document, report
-    (doc_id, n_toks, ppl). The scoring plan broadcasts the bounded
-    model tables; its one exchange is the per-doc aggregation,
-    collapsed map-side to one row per document."""
-    from entity_linking_spark.operators.lm import perplexity, train_bigram_lm
+    count-pruned-bigram backoff), score every document, and assign
+    CCNet's head/middle/tail buckets by exact global perplexity rank
+    (head 25% / middle 50% — exactly-representable fractions so both
+    engines floor identical doubles; ties broken on (ppl, doc_id)).
+    Report (doc_id, n_toks, ppl, bucket). The scoring plan broadcasts
+    the bounded model tables; the bucket rank is the two-pass
+    prefix-sum global rank (never a one-task global window — the
+    oracle's row_number() OVER (ORDER BY ...) is exactly the plan
+    shape the Spark side is built to avoid)."""
+    from entity_linking_spark.operators.lm import (
+        perplexity_buckets,
+        train_bigram_lm,
+    )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     lm = train_bigram_lm(d, vocab_size=512, bigram_size=2048, k=1.0, lam=0.75)
-    return perplexity(d, lm).orderBy("doc_id")
+    return perplexity_buckets(d, lm, head_frac=0.25, middle_frac=0.5).orderBy(
+        "doc_id"
+    )
 
 
 # NB-quality-classifier oracle: replays operators/classify.py end to

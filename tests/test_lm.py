@@ -241,3 +241,71 @@ def test_scoring_plan_is_broadcast_only(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_buckets_exact_split_and_order_consistency(spark):
+    # 9 docs with strictly ordered perplexities (distinct texts of
+    # rising surprise under a model trained on the same corpus):
+    # thirds must land 3/3/3 and the head must hold the 3 lowest ppls.
+    from entity_linking_spark.operators.lm import perplexity_buckets
+
+    rows = [(i, " ".join(["common"] * (12 - i) + [f"rare{i}"] * i)) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = train_bigram_lm(df, vocab_size=50, bigram_size=200)
+    out = perplexity_buckets(df, lm).collect()
+    by_bucket = collections.defaultdict(list)
+    for r in out:
+        by_bucket[r.bucket].append((r.ppl, r.doc_id))
+    assert {b: len(v) for b, v in by_bucket.items()} == {
+        "head": 3, "middle": 3, "tail": 3,
+    }
+    # rank consistency: max(head) <= min(middle) <= ... under (ppl, id)
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+    # buckets agree with a driver-side sort of the scored output
+    ranked = sorted((r.ppl, r.doc_id) for r in out)
+    want_head = set(d for _, d in ranked[:3])
+    assert set(d for _, d in by_bucket["head"]) == want_head
+
+
+def test_buckets_deterministic_across_partitionings(spark):
+    from entity_linking_spark.operators.lm import perplexity_buckets
+
+    rng = random.Random(17)
+    words = [f"w{i}" for i in range(15)]
+    rows = [(i, " ".join(rng.choices(words, k=12))) for i in range(50)]
+    a = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
+    b = spark.createDataFrame(rows, "doc_id long, text string").repartition(9)
+    lm = train_bigram_lm(a, vocab_size=10, bigram_size=30)
+    ra = sorted(map(tuple, perplexity_buckets(a, lm).collect()))
+    rb = sorted(map(tuple, perplexity_buckets(b, lm, n_partitions=5).collect()))
+    assert ra == rb
+
+
+def test_buckets_frac_validation(spark):
+    from entity_linking_spark.operators.lm import perplexity_buckets
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    lm = train_bigram_lm(df, vocab_size=4, bigram_size=4)
+    for h, m in ((-0.1, 0.5), (0.6, 0.6), (0.5, -0.2)):
+        with pytest.raises(ValueError):
+            perplexity_buckets(df, lm, head_frac=h, middle_frac=m)
+
+
+def test_buckets_no_single_task_global_window(spark):
+    """Scale contract: the bucket rank must never be a one-partition
+    global window — the plan's window sort is partitioned by _pid
+    (plus the range exchange), not Window.orderBy over everything."""
+    from entity_linking_spark.operators.lm import perplexity_buckets
+
+    rows = [(i, f"a b c{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = train_bigram_lm(df, vocab_size=8, bigram_size=16)
+    plan = (
+        perplexity_buckets(df, lm, n_partitions=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # a global window would show 'Window [... windowspecdefinition(...)'
+    # with no partitionBy column; ours partitions by _pid
+    assert "_pid" in plan
+    assert "SinglePartition" not in plan.split("Window")[1][:400]
