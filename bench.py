@@ -54,6 +54,7 @@ def main() -> None:
         "c4_line_clean",
         "gopher_quality_signals",
         "lm_perplexity",
+        "nb_quality_classifier",
     ]
     all_q = Q.all_queries()
     times: dict[str, float] = {}
