@@ -48,7 +48,12 @@ labels the sampled pairs; the freed slot holds the oracle-backed
 url_canonicalize_dedup web-crawl operator);
 a11_num_tokens -> retired into text_analysis_suite, which already
 computed the identical column (round 5; the freed slot holds the
-oracle-backed decontaminate_ngram benchmark-decontamination pass).
+oracle-backed decontaminate_ngram benchmark-decontamination pass);
+J1 + J2 -> j1_j2_join_suite (round-5 end, tagged union preserving each
+branch's join shape; the freed slot holds the oracle-backed
+semantic_dedup — SemDeDup-style embedding dedup with a full DuckDB
+twin, converting the embedding-dedup family from pytest-only to
+oracle-backed).
 """
 
 from __future__ import annotations

@@ -19,6 +19,7 @@ import zlib
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, FloatType
 
@@ -75,3 +76,45 @@ def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
             d = np.linalg.norm(va) * np.linalg.norm(vb)
             out[i] = float(va @ vb / d) if d else 0.0
     return pd.Series(out)
+
+
+# --- JVM-side (Column-expression) cosine -------------------------------
+#
+# cosine_udf above runs float32 numpy per Arrow batch — right for bulk
+# rescoring where 1e-7 relative error is irrelevant. The Column variants
+# below stay entirely in whole-stage codegen as sequential DOUBLE folds,
+# which makes them bit-reproducible against a DuckDB list_cosine_
+# similarity twin (same left-to-right accumulation order, same IEEE
+# ops) — the property the oracle-backed gate rows rely on
+# (ann_cosine_topk, j9_hard_negative_join, semantic_dedup).
+
+def dot_col(a, b):
+    """Sequential-fold double dot product of two array columns (JVM)."""
+    from pyspark.sql import Column  # noqa: F401  (doc aid)
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a):
+    """L2 norm of an array column as a sequential double fold (JVM)."""
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_col(a, b):
+    """Cosine of two array columns, all-JVM double arithmetic."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))

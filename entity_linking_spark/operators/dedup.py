@@ -576,3 +576,122 @@ def dedup_repeated_substrings(
         keep_first=keep_first,
     )
     return remove_duplicated_spans(df, spans, text_col, id_col), dropped
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    min_cosine: float = 0.38,
+    max_cluster_size: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then inside each
+    cluster remove every document that has a near-duplicate (cosine >=
+    ``min_cosine``), keeping the member FARTHEST from its centroid —
+    the paper's diversity-preserving keep rule.
+
+    Deterministic, oracle-replayable formulation (this is the variant
+    choice, stated honestly): (1) centroids are k EXEMPLAR rows chosen
+    by md5-of-id order (a deterministic pseudo-random sample — the
+    paper's k-means is replaced by one-shot exemplar assignment so
+    DuckDB can replay every step; the iterative-k-means variant would
+    be pytest-only like D12's fractional path); (2) the per-pair keep
+    rule is pairwise dominance — x is removed iff SOME same-cluster y
+    with cos(x, y) >= min_cosine sits strictly closer to the centroid
+    (ties -> the smaller id survives) — rather than the sequential
+    greedy scan, so removal is a pure EXISTS, expressible in both
+    engines and shuffle-parallel.
+
+    Scale shape (the 100-TB plan):
+      - centroids are a bounded k-row collect broadcast as LITERALS, so
+        assignment is ONE projection in whole-stage codegen — zero
+        exchanges, zero explode (k sims folded via greatest() over
+        structs, argmax with the sim-desc/cid-asc tie rule);
+      - the cluster-size cap joins against a k-row aggregate
+        (broadcast), and over-cap clusters are DROPPED before the pair
+        join (stop-key treatment, same policy as embedding_near_dup_
+        pairs: a degenerate boilerplate cluster would emit size^2/2
+        pairs onto one reducer; handle boilerplate with exact_dedup
+        upstream) — dropped docs leave the output, mirroring the
+        bucketed operators;
+      - the within-cluster self-join exchanges (id, cid, sim, vec)
+        keyed by cid — pairs are bounded by k * max_cluster_size^2 / 2,
+        never N^2. For corpora where k must grow to ~sqrt(N), route
+        assignment through ivf_topk's two-level coarse quantizer; the
+        dedup semantics downstream are unchanged.
+
+    All similarity arithmetic is the JVM sequential double fold
+    (functions.vectors.cosine_col), bit-reproducible against DuckDB's
+    list_cosine_similarity.
+
+    Returns (id_col, cluster_id, centroid_sim DOUBLE round-4,
+    keep BOOLEAN), one row per surviving-cluster document.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from entity_linking_spark.functions.vectors import cosine_col
+
+    src = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    # bounded k-row collect (the brute_force_topk convention): exemplar
+    # centroids become literal arrays so assignment needs no join at all
+    exemplars = (
+        src.orderBy(F.md5(F.col("id").cast("string")), "id").limit(k).collect()
+    )
+    cents = [
+        (r["id"], [float(x) for x in r["vec"]]) for r in exemplars
+    ]
+
+    def _sim_struct(cid, cvec):
+        lit_vec = F.array(*[F.lit(x) for x in cvec])
+        return F.struct(
+            cosine_col(F.col("vec"), lit_vec).alias("sim"),
+            # negated id: struct-max on (sim, negcid) = argmax by sim
+            # with ties to the SMALLEST centroid id
+            F.lit(-cid).cast("long").alias("negcid"),
+        )
+    structs = [_sim_struct(cid, cvec) for cid, cvec in cents]
+    best = structs[0] if len(structs) == 1 else F.greatest(*structs)
+    asg = src.select(
+        "id",
+        "vec",
+        best.getField("sim").alias("sim"),
+        (-best.getField("negcid")).alias("cid"),
+    )
+    sizes = asg.groupBy("cid").agg(F.count("*").alias("_csize"))
+    asg = (
+        asg.join(F.broadcast(sizes), "cid")
+        .where(F.col("_csize") <= max_cluster_size)
+        .drop("_csize")
+    )
+    lhs = asg.select(
+        F.col("id").alias("id_a"), "cid",
+        F.col("sim").alias("sim_a"), F.col("vec").alias("vec_a"),
+    )
+    rhs = asg.select(
+        F.col("id").alias("id_b"), "cid",
+        F.col("sim").alias("sim_b"), F.col("vec").alias("vec_b"),
+    )
+    pairs = (
+        lhs.join(rhs, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine_col("vec_a", "vec_b") >= F.lit(float(min_cosine)))
+    )
+    victims = pairs.select(
+        F.when(F.col("sim_a") > F.col("sim_b"), F.col("id_a"))
+        .when(F.col("sim_b") > F.col("sim_a"), F.col("id_b"))
+        .otherwise(F.greatest("id_a", "id_b"))
+        .alias("id")
+    ).distinct()
+    return (
+        asg.join(victims.withColumn("_hit", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cid").alias("cluster_id"),
+            F.round("sim", 4).alias("centroid_sim"),
+            F.col("_hit").isNull().alias("keep"),
+        )
+    )

@@ -143,42 +143,99 @@ def p3_p4_p5_p6_p7_filter_suite(spark, sf_dir):
 # ------------------------------------------------------------------ joins
 
 @query(
-    "j1_alias_equijoin",
-    """SELECT n.n_name AS nation, count(*) AS n_customers
+    "j1_j2_join_suite",
+    """SELECT 'j1' AS which, n.n_name AS k, CAST(count(*) AS VARCHAR) AS v
        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-       GROUP BY n.n_name ORDER BY nation""",
+       GROUP BY n.n_name
+       UNION ALL
+       SELECT * FROM
+       (SELECT 'j2' AS which, CAST(o.o_orderkey AS VARCHAR) AS k,
+               coalesce(c.c_name, 'UNKNOWN') AS v
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY CAST(k AS BIGINT) LIMIT 500)
+       ORDER BY which, k""",
 )
-def j1_alias_equijoin(spark, sf_dir):
-    """J1: the blocking-key equi hash join shape (service_main.py:117-127)."""
+def j1_j2_join_suite(spark, sf_dir):
+    """J1 blocking-key equi hash join (service_main.py:117-127) + J2
+    left join + coalesce fallback (link_wikipedia_and_wikidata.py:
+    76-102), merged into one tagged gate slot at round-5 end (the
+    p3..p7 / a7_a8_a9 convention; the freed slot holds the
+    oracle-backed semantic_dedup). Each branch keeps its original join
+    shape: J1 an explicitly-broadcast dim join + hash aggregate, J2
+    un-hinted (round 4: customer is only broadcastable at bench SFs —
+    a forced hint would OOM the driver at warehouse scale; AQE
+    broadcasts at runtime when the side is actually small)."""
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    return (
+    j1 = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.count("*").alias("n_customers"))
-        .orderBy("nation")
+        .groupBy(F.col("n_name").alias("k"))
+        .agg(F.count("*").cast("string").alias("v"))
+        .select(F.lit("j1").alias("which"), "k", "v")
     )
+    o = _t(spark, sf_dir, "orders")
+    j2 = (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .select("o_orderkey", F.coalesce("c_name", F.lit("UNKNOWN")).alias("v"))
+        .orderBy("o_orderkey")
+        .limit(500)
+        .select(
+            F.lit("j2").alias("which"),
+            F.col("o_orderkey").cast("string").alias("k"),
+            "v",
+        )
+    )
+    return j1.unionByName(j2).orderBy("which", "k")
 
 
 @query(
-    "j2_coalesce_fallback_join",
-    """SELECT o.o_orderkey, coalesce(c.c_name, 'UNKNOWN') AS buyer
-       FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-       ORDER BY o.o_orderkey LIMIT 500""",
+    "semantic_dedup",
+    """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+                  FROM embeddings
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       a AS (SELECT e.vec_id AS id, c.cid,
+                    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           c.cvec) AS sim
+             FROM embeddings e CROSS JOIN c),
+       asg AS (SELECT id, cid, sim FROM
+               (SELECT *, row_number() OVER (PARTITION BY id
+                          ORDER BY sim DESC, cid) AS rn FROM a)
+               WHERE rn = 1),
+       kept AS (SELECT * FROM asg
+                QUALIFY count(*) OVER (PARTITION BY cid) <= 4096),
+       p AS (SELECT x.id AS id_a, y.id AS id_b, x.sim AS sim_a, y.sim AS sim_b
+             FROM kept x JOIN kept y ON x.cid = y.cid AND x.id < y.id
+             JOIN embeddings ex ON ex.vec_id = x.id
+             JOIN embeddings ey ON ey.vec_id = y.id
+             WHERE list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                       CAST(ey.embedding AS DOUBLE[])) >= 0.38),
+       v AS (SELECT DISTINCT CASE WHEN sim_a > sim_b THEN id_a
+                                  WHEN sim_b > sim_a THEN id_b
+                                  ELSE greatest(id_a, id_b) END AS id FROM p)
+       SELECT k.id AS vec_id, k.cid AS cluster_id,
+              round(k.sim, 4) AS centroid_sim,
+              v.id IS NOT NULL AS removed
+       FROM kept k LEFT JOIN v ON k.id = v.id
+       ORDER BY vec_id""",
 )
-def j2_coalesce_fallback_join(spark, sf_dir):
-    """J2: left join + coalesce fallback (link_wikipedia_and_wikidata.py:76-102)."""
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    # un-hinted (round 4): customer is only broadcastable at bench SFs —
-    # a forced hint would OOM the driver at warehouse scale; AQE
-    # broadcasts at runtime when the side is actually small
-    return (
-        o.join(c, o.o_custkey == c.c_custkey, "left")
-        .select("o_orderkey", F.coalesce("c_name", F.lit("UNKNOWN")).alias("buyer"))
-        .orderBy("o_orderkey")
-        .limit(500)
+def semantic_dedup_query(spark, sf_dir):
+    """SemDeDup semantic deduplication (Abbas et al. 2023) over the
+    embeddings table — deterministic exemplar clustering + within-
+    cluster diversity-keep (operators/dedup.semantic_dedup; the
+    embedding-dedup family's oracle row — the full keep rule is
+    DuckDB-replayed step by step: exemplar choice, argmax assignment,
+    pair threshold, dominance removal)."""
+    from entity_linking_spark.operators.dedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        e, id_col="vec_id", vec_col="embedding",
+        k=8, min_cosine=0.38, max_cluster_size=4096,
     )
+    return out.select(
+        "vec_id", "cluster_id", "centroid_sim",
+        (~F.col("keep")).alias("removed"),
+    ).orderBy("vec_id")
 
 
 @query(

@@ -550,3 +550,132 @@ def test_duplicated_spans_randomized(spark):
     for r in rows:
         got.setdefault(r.id, set()).add((r.span_start, r.span_end, r.n_windows))
     assert got == _ref_duplicated_spans(docs, W, 2)
+
+
+# ---------------------------------------------------------------- semantic
+
+
+def _semdedup_ref(ids, vecs, k, eps):
+    """From-first-principles replay of dedup.semantic_dedup: exemplar
+    centroids by md5-of-id order, argmax assignment (ties -> smaller
+    centroid id), pairwise-dominance removal (remove the closer-to-
+    centroid member; ties -> larger id removed)."""
+    import hashlib
+
+    order = sorted(range(len(ids)), key=lambda i: (hashlib.md5(
+        str(ids[i]).encode()).hexdigest(), ids[i]))
+    cents = [(ids[i], vecs[i]) for i in order[:k]]
+
+    def cos(a, b):
+        a = np.asarray(a, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    asg = {}
+    for i, vid in enumerate(ids):
+        best = max(
+            ((cos(vecs[i], cv), -cid) for cid, cv in cents),
+        )
+        asg[vid] = (-best[1], best[0])  # cid, sim
+    removed = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ca, sa = asg[a]
+            cb, sb = asg[b]
+            if ca != cb:
+                continue
+            ia, ib = ids.index(a), ids.index(b)
+            if cos(vecs[ia], vecs[ib]) < eps:
+                continue
+            if sa > sb:
+                removed.add(a)
+            elif sb > sa:
+                removed.add(b)
+            else:
+                removed.add(max(a, b))
+    return asg, removed
+
+
+def test_semantic_dedup_matches_reference_replay(spark, corpus):
+    rows = corpus.collect()
+    ids = [r.vec_id for r in rows]
+    vecs = [r.embedding for r in rows]
+    asg_ref, removed_ref = _semdedup_ref(ids, vecs, k=4, eps=0.9)
+    out = dedup.semantic_dedup(
+        corpus, k=4, min_cosine=0.9, max_cluster_size=1000
+    ).collect()
+    assert len(out) == len(ids)
+    for r in out:
+        cid, _sim = asg_ref[r.vec_id]
+        assert r.cluster_id == cid
+        assert r.keep == (r.vec_id not in removed_ref)
+    # the corpus plants near-dups of vec 0 (100, 101) and vec 1 (102):
+    # each dup group must lose at least one member
+    removed = {r.vec_id for r in out if not r.keep}
+    assert removed, "planted near-duplicates must trigger removals"
+    assert removed == removed_ref
+
+
+def test_semantic_dedup_keeps_farthest_from_centroid(spark):
+    # one tight cluster around e1 with two members at different centroid
+    # distances: the CLOSER one must be removed (diversity keep)
+    from pyspark.sql import Row as R
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.0447, 0.0, 0.0]  # ~e1, closer to centroid
+    far = [0.995, 0.0999, 0.0, 0.0]   # ~e1, farther out
+    other = [0.0, 0.0, 1.0, 0.0]
+    df = spark.createDataFrame(
+        [R(vec_id=1, embedding=e1), R(vec_id=2, embedding=near),
+         R(vec_id=3, embedding=far), R(vec_id=4, embedding=other)]
+    )
+    out = {r.vec_id: r for r in dedup.semantic_dedup(
+        df, k=2, min_cosine=0.97, max_cluster_size=100).collect()}
+    grp = [r for r in out.values() if r.cluster_id == out[1].cluster_id]
+    assert len(grp) >= 3
+    # whichever of {1,2,3} sits closest to the exemplar is removed;
+    # at least one member survives and at least one is removed
+    flags = {vid: out[vid].keep for vid in (1, 2, 3)}
+    assert not all(flags.values()) and any(flags.values())
+    # the survivor(s) of the near-dup pairs have LOWER centroid_sim than
+    # any removed member they were paired with
+    sims = {vid: out[vid].centroid_sim for vid in (1, 2, 3)}
+    removed_sims = [sims[v] for v, kept in flags.items() if not kept]
+    kept_sims = [sims[v] for v, kept in flags.items() if kept]
+    assert max(kept_sims) <= max(removed_sims)
+    assert out[4].keep
+
+
+def test_semantic_dedup_deterministic_across_partitionings(spark, corpus):
+    a = sorted(
+        map(tuple, dedup.semantic_dedup(corpus.repartition(1), k=4,
+                                        min_cosine=0.9).collect())
+    )
+    b = sorted(
+        map(tuple, dedup.semantic_dedup(corpus.repartition(7), k=4,
+                                        min_cosine=0.9).collect())
+    )
+    assert a == b
+
+
+def test_semantic_dedup_cluster_cap_drops_hot_cluster(spark, corpus):
+    full = dedup.semantic_dedup(corpus, k=4, min_cosine=0.9,
+                                max_cluster_size=10000)
+    sizes = full.groupBy("cluster_id").count().collect()
+    biggest = max(r["count"] for r in sizes)
+    capped = dedup.semantic_dedup(corpus, k=4, min_cosine=0.9,
+                                  max_cluster_size=biggest - 1)
+    kept_clusters = {r.cluster_id for r in capped.select(
+        "cluster_id").distinct().collect()}
+    dropped = {r.cluster_id for r in sizes if r["count"] > biggest - 1}
+    assert dropped and not (dropped & kept_clusters)
+    assert capped.count() == sum(
+        r["count"] for r in sizes if r["count"] <= biggest - 1)
+
+
+def test_semantic_dedup_k1_and_validation(spark, corpus):
+    out = dedup.semantic_dedup(corpus, k=1, min_cosine=0.9)
+    assert out.select("cluster_id").distinct().count() == 1
+    assert out.count() == corpus.count()
+    with pytest.raises(ValueError):
+        dedup.semantic_dedup(corpus, k=0)
