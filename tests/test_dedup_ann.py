@@ -679,3 +679,20 @@ def test_semantic_dedup_k1_and_validation(spark, corpus):
     assert out.count() == corpus.count()
     with pytest.raises(ValueError):
         dedup.semantic_dedup(corpus, k=0)
+
+
+def test_semantic_dedup_join_path_identical_to_literal(spark, corpus):
+    """The beyond-literal-envelope Arrow path (batched float64 matmul
+    assignment + einsum pair verify) must be output-identical to the
+    literal-centroid JVM projection on the fixture corpus — the
+    trie-vs-join mention-path convention."""
+    lit = sorted(map(tuple, dedup.semantic_dedup(
+        corpus, k=4, min_cosine=0.9, arrow_path=False).collect()))
+    jn = sorted(map(tuple, dedup.semantic_dedup(
+        corpus, k=4, min_cosine=0.9, arrow_path=True).collect()))
+    assert lit == jn
+    # auto-select: k > 64 takes the join path without blowing up the
+    # expression tree (65 centroids over a 43-row corpus degenerates to
+    # ~1 row per cluster — removals impossible, assignment still total)
+    auto = dedup.semantic_dedup(corpus, k=65, min_cosine=0.9)
+    assert auto.count() == corpus.count()
