@@ -55,6 +55,7 @@ def main() -> None:
         "gopher_quality_signals",
         "lm_perplexity",
         "nb_quality_classifier",
+        "semantic_dedup",
     ]
     all_q = Q.all_queries()
     times: dict[str, float] = {}
