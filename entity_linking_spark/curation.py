@@ -19,6 +19,10 @@ probe and PII redaction last:
    broadcast probe, the corpus itself is never shuffled)
 8. PII redaction        (functions/text.redact_pii — scan)
 
+Opt-in between 6 and 7 (``semantic_k``): SemDeDup semantic dedup
+(operators/dedup.semantic_dedup over in-chain hash embeddings — catches
+paraphrase-grade duplication the token-level gates can't see).
+
 Every stage is the same code path its gate row / pytest suite pins, so
 the composition needs no oracle of its own; `tests/test_curation.py`
 verifies stage-by-stage row accounting on planted fixtures and
@@ -81,6 +85,8 @@ def curate_corpus(
     max_dup5_frac: float = 0.30,
     near_dup: bool = True,
     near_dup_jaccard: float = 0.8,
+    semantic_k: int | None = None,
+    semantic_min_cosine: float = 0.95,
     decontaminate_window: int = 13,
     redact: bool = True,
     with_stats: bool = True,
@@ -94,8 +100,10 @@ def curate_corpus(
     ``spark.catalog.clearCache()`` after the final action).
 
     Stage toggles (``url_col=None`` skips URL dedup, ``benchmark=None``
-    skips decontamination, the booleans gate the rest) let callers run
-    any prefix/subset; thresholds default to the Gopher paper values
+    skips decontamination, ``semantic_k=None`` skips the opt-in
+    SemDeDup stage — set it to the cluster budget to enable, numeric
+    ``id_col`` required there, the booleans gate the rest) let callers
+    run any prefix/subset; thresholds default to the Gopher paper values
     where one exists (repetition fractions are this library's
     documented TOKEN-fraction analogs — see
     operators/quality.repetition_signals).
@@ -187,6 +195,34 @@ def curate_corpus(
             .select(F.col("url").alias(id_col))
         )
         step("near_dup", cur.join(victims, id_col, "left_anti"))
+    if semantic_k is not None:
+        # opt-in 9th stage (SemDeDup, Abbas et al. 2023): embed the
+        # cleaned text with the library's deterministic hash embedding
+        # and drop within-cluster near-duplicates the token-level gates
+        # can't see (paraphrase-grade duplication). Embeddings live
+        # only on a narrow (id, vec) branch; victims anti-join back, so
+        # the payload stays out of every exchange like the other gates.
+        # semantic_dedup's centroid argmax requires a NUMERIC id column
+        # (documented there); on a real cluster the hash embedding maps
+        # to the model-encoder batch UDF, everything downstream
+        # unchanged.
+        from entity_linking_spark.functions.vectors import hash_embed_udf
+        from entity_linking_spark.operators.dedup import semantic_dedup
+
+        emb = cur.select(
+            F.col(id_col).alias("vec_id"),
+            hash_embed_udf(
+                F.split(F.lower(F.col(text_col)), " ")
+            ).alias("embedding"),
+        )
+        sem_victims = (
+            semantic_dedup(
+                emb, k=semantic_k, min_cosine=semantic_min_cosine
+            )
+            .where(~F.col("keep"))
+            .select(F.col("vec_id").alias(id_col))
+        )
+        step("semantic_dedup", cur.join(sem_victims, id_col, "left_anti"))
     if benchmark is not None:
         step(
             "decontaminate",
@@ -227,6 +263,9 @@ def main() -> None:
                     help="eval-set parquet (text-col) for decontamination")
     ap.add_argument("--min-words", type=int, default=50)
     ap.add_argument("--near-dup-jaccard", type=float, default=0.8)
+    ap.add_argument("--semantic-k", type=int, default=None,
+                    help="enable the SemDeDup stage with this cluster "
+                         "budget (numeric id col required)")
     ap.add_argument("--stats", action="store_true",
                     help="persist+count each stage (JSON line per stage)")
     ap.add_argument("--cores", type=int, default=None)
@@ -246,6 +285,7 @@ def main() -> None:
         benchmark=bench,
         min_words=args.min_words,
         near_dup_jaccard=args.near_dup_jaccard,
+        semantic_k=args.semantic_k,
         with_stats=args.stats,
     )
     curated.write.mode("overwrite").parquet(args.output)

@@ -666,6 +666,17 @@ def semantic_dedup(
         .limit(k)
         .collect()
     )
+    if not exemplars:
+        # empty corpus: an empty, correctly-typed result — not a
+        # zero-centroid argmax crash (an upstream gate emptying the
+        # batch is a legitimate state for a composed curation chain)
+        return embeddings.sparkSession.createDataFrame(
+            [],
+            schema=(
+                f"{id_col} long, cluster_id long, "
+                "centroid_sim double, keep boolean"
+            ),
+        )
     if arrow_path:
         # scale path (ivf_topk convention): centroids ride the UDF
         # closure, normalized once; each Arrow batch is one [b, dim] x

@@ -119,3 +119,52 @@ def test_curate_corpus_lazy_and_toggles(spark):
     assert {r.doc_id for r in curated.select("doc_id").collect()} == set(
         range(10)
     ) - {6}
+
+
+def test_curate_corpus_semantic_stage(spark):
+    docs, _ = _fixture_docs()
+    # d10/d11: token-level distinct enough to clear the 0.8-jaccard
+    # near-dup gate, but hash-embedding-identical: d11 permutes the
+    # WORD ORDER inside every line (adjacent swaps, terminal word
+    # pinned so C4 still keeps the lines), which destroys the minhash
+    # shingles while leaving the bag-of-tokens embedding identical
+    # (cosine 1.0) — exactly the paraphrase-grade duplication class
+    # SemDeDup exists for
+    lines_a = [
+        f"the quick par{i} brown qar{i} jumps rar{i} over that"
+        f" sar{i} lazy dog tar{i} today."
+        for i in range(8)
+    ]
+    # every fixed-word run in B is <= 2 tokens (a 3-token fixed run
+    # repeated per line would trip the top3 repetition gate at 8/105),
+    # and both docs' lines START with 'the' so the newline-glued tokens
+    # ('today.\nthe') match too — the bags are then exactly equal and
+    # the pair cosine is exactly 1.0, while template pages sit ~0.75
+    # apart (the shared function words dominate every cross cosine)
+    lines_b = [
+        f"the par{i} quick brown qar{i} jumps over rar{i} that"
+        f" lazy sar{i} dog tar{i} today."
+        for i in range(8)
+    ]
+    docs = docs + [
+        (10, "https://example.com/k", "\n".join(lines_a)),
+        (11, "https://example.com/l", "\n".join(lines_b)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, url string, text string")
+    base, base_stats = curate_corpus(
+        df, url_col="url", min_words=20
+    )
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    assert {10, 11} <= base_ids, "token-level gates must NOT catch the pair"
+    curated, stats = curate_corpus(
+        df, url_col="url", min_words=20, semantic_k=2,
+        semantic_min_cosine=0.99,
+    )
+    by_stage = {s["stage"]: s for s in stats}
+    assert "semantic_dedup" in by_stage
+    # exactly one of the embedding-identical pair is removed, nothing else
+    ids = {r.doc_id for r in curated.select("doc_id").collect()}
+    assert len({10, 11} & ids) == 1
+    assert ids - {10, 11} == base_ids - {10, 11}
+    assert by_stage["semantic_dedup"]["rows_in"] - by_stage[
+        "semantic_dedup"]["rows_out"] == 1

@@ -696,3 +696,10 @@ def test_semantic_dedup_join_path_identical_to_literal(spark, corpus):
     # ~1 row per cluster — removals impossible, assignment still total)
     auto = dedup.semantic_dedup(corpus, k=65, min_cosine=0.9)
     assert auto.count() == corpus.count()
+
+
+def test_semantic_dedup_empty_corpus(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = dedup.semantic_dedup(empty, k=8)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cluster_id", "centroid_sim", "keep"]
