@@ -87,6 +87,7 @@ def curate_corpus(
     near_dup_jaccard: float = 0.8,
     semantic_k: int | None = None,
     semantic_min_cosine: float = 0.95,
+    semantic_max_cluster: int = 4096,
     decontaminate_window: int = 13,
     redact: bool = True,
     with_stats: bool = True,
@@ -205,24 +206,50 @@ def curate_corpus(
         # semantic_dedup's centroid argmax requires a NUMERIC id column
         # (documented there); on a real cluster the hash embedding maps
         # to the model-encoder batch UDF, everything downstream
-        # unchanged.
+        # unchanged. Two contracts stated plainly: (a) this stage is
+        # EAGER even with with_stats=False — semantic_dedup collects
+        # its k exemplars at plan-construction time, so `cur` is
+        # persisted here first and the collect replays cached rows,
+        # not the upstream chain; (b) clusters larger than
+        # semantic_max_cluster are SKIPPED, not deduped (absent from
+        # semantic_dedup's output -> never victims -> kept): size
+        # semantic_k so expected cluster size N/k sits well under the
+        # cap, or a degenerate boilerplate cluster silently keeps its
+        # duplicates (exact_dedup upstream is the cheap guard).
         from entity_linking_spark.functions.vectors import hash_embed_udf
         from entity_linking_spark.operators.dedup import semantic_dedup
 
+        if not with_stats:
+            cur = cur.persist()
         emb = cur.select(
             F.col(id_col).alias("vec_id"),
             hash_embed_udf(
                 F.split(F.lower(F.col(text_col)), " ")
             ).alias("embedding"),
         )
+        sem_caches: list = []
         sem_victims = (
             semantic_dedup(
-                emb, k=semantic_k, min_cosine=semantic_min_cosine
+                emb,
+                k=semantic_k,
+                min_cosine=semantic_min_cosine,
+                max_cluster_size=semantic_max_cluster,
+                cache_registry=sem_caches,
             )
             .where(~F.col("keep"))
             .select(F.col("vec_id").alias(id_col))
         )
         step("semantic_dedup", cur.join(sem_victims, id_col, "left_anti"))
+        if with_stats:
+            # the stage boundary above is persisted+counted, so the
+            # operator's internal assignment cache has served its
+            # purpose — release it (blocking.py cache_registry
+            # convention). On the lazy path the cache must outlive this
+            # call (the returned frame still references it): the
+            # documented chain-wide spark.catalog.clearCache() releases
+            # it with the rest.
+            for c in sem_caches:
+                c.unpersist()
     if benchmark is not None:
         step(
             "decontaminate",

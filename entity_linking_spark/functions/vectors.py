@@ -85,8 +85,10 @@ def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 # below stay entirely in whole-stage codegen as sequential DOUBLE folds,
 # which makes them bit-reproducible against a DuckDB list_cosine_
 # similarity twin (same left-to-right accumulation order, same IEEE
-# ops) — the property the oracle-backed gate rows rely on
-# (ann_cosine_topk, j9_hard_negative_join, semantic_dedup).
+# ops) — the property the cosine-bearing oracle gate rows depend on.
+# ann_cosine_topk and semantic_dedup call cosine_col directly;
+# j9_hard_negative_join goes through brute_force_topk's float64 numpy
+# matmul, which agrees with the fold to the last ulp away from ties.
 
 def dot_col(a, b):
     """Sequential-fold double dot product of two array columns (JVM)."""
@@ -114,7 +116,14 @@ def norm_col(a):
 
 
 def cosine_col(a, b):
-    """Cosine of two array columns, all-JVM double arithmetic."""
+    """Cosine of two array columns, all-JVM double arithmetic.
+
+    Zero-norm rows score 0.0 (not NaN): Spark orders NaN ABOVE every
+    number, so an unguarded 0/0 would make a zero vector win argmax
+    comparisons and pass >= thresholds — and diverge from the numpy
+    paths, which guard zero norms the same way. For non-zero rows the
+    guard is a no-op, so DuckDB bit-reproducibility is unchanged."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
-    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+    denom = norm_col(a) * norm_col(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot_col(a, b) / denom)

@@ -600,11 +600,12 @@ def semantic_dedup(
     paper's k-means is replaced by one-shot exemplar assignment so
     DuckDB can replay every step; the iterative-k-means variant would
     be pytest-only like D12's fractional path); (2) the per-pair keep
-    rule is pairwise dominance — x is removed iff SOME same-cluster y
-    with cos(x, y) >= min_cosine sits strictly closer to the centroid
-    (ties -> the smaller id survives) — rather than the sequential
-    greedy scan, so removal is a pure EXISTS, expressible in both
-    engines and shuffle-parallel.
+    rule is pairwise dominance — x is removed iff x sits strictly
+    CLOSER to the centroid than some same-cluster y with
+    cos(x, y) >= min_cosine (the keep-farthest diversity rule; on a
+    tie the smaller id survives) — rather than the sequential greedy
+    scan, so removal is a pure EXISTS, expressible in both engines and
+    shuffle-parallel.
 
     Scale shape (the 100-TB plan):
       - centroids are a bounded k-row collect broadcast as LITERALS, so
@@ -648,15 +649,21 @@ def semantic_dedup(
     bit-reproducible against DuckDB's list_cosine_similarity.
 
     Returns (id_col, cluster_id, centroid_sim DOUBLE round-4,
-    keep BOOLEAN), one row per surviving-cluster document.
+    keep BOOLEAN), one row per surviving-cluster document (rows with a
+    NULL embedding and rows in over-cap clusters are absent — callers
+    that treat the output as a removal list, like curate_corpus, keep
+    absent docs, which is the safe direction for a removal gate).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     from entity_linking_spark.functions.vectors import cosine_col
 
+    # NULL embeddings are excluded up front (documented: no embedding,
+    # no semantic identity — they would otherwise crash the Arrow
+    # path's np.stack and poison an exemplar draw on the literal path)
     src = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    )
+    ).where(F.col(vec_col).isNotNull())
     if arrow_path is None:
         arrow_path = k > 64
     # bounded k-row collect either way (the brute_force_topk

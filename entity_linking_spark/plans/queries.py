@@ -1511,31 +1511,20 @@ def nb_quality_classifier(spark, sf_dir):
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k over the embedding column (J6 analog,
     biencoder_.py:166-167): JVM-side zip_with/aggregate dot product —
-    no Python in the loop."""
+    no Python in the loop. The fold lives in ONE place
+    (functions/vectors.cosine_col, shared with semantic_dedup) so the
+    bit-reproducibility-critical accumulation order can never drift
+    between the cosine-bearing gate rows."""
+    from entity_linking_spark.functions.vectors import cosine_col
+
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     cand = e.where(F.col("vec_id") != 0)
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("embedding"), F.col("qv"), lambda x, y: x.cast("double") * y.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
     return (
         cand.crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            F.round(dot / (norm(F.col("embedding")) * norm(F.col("qv"))), 4).alias(
-                "cos_sim"
-            ),
+            F.round(cosine_col("embedding", "qv"), 4).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)

@@ -703,3 +703,32 @@ def test_semantic_dedup_empty_corpus(spark):
     out = dedup.semantic_dedup(empty, k=8)
     assert out.count() == 0
     assert out.columns == ["vec_id", "cluster_id", "centroid_sim", "keep"]
+
+
+def test_semantic_dedup_null_and_zero_vectors(spark):
+    from pyspark.sql import Row as R
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.0447, 0.0, 0.0]
+    # md5-of-id order over these ids is [6, 7, 1, 2, ...], so the k=2
+    # exemplars are the two ANCHOR docs — the near-dup pair lands in
+    # one cluster instead of seeding one centroid each (which would
+    # legitimately split it)
+    df = spark.createDataFrame(
+        [R(vec_id=1, embedding=e1), R(vec_id=2, embedding=near),
+         R(vec_id=3, embedding=[0.0, 0.0, 0.0, 0.0]),   # zero norm
+         R(vec_id=4, embedding=None),                    # no embedding
+         R(vec_id=6, embedding=[0.9, 0.1, 0.0, 0.0]),   # anchor A
+         R(vec_id=7, embedding=[0.0, 0.0, 1.0, 0.0])],  # anchor B
+        "vec_id long, embedding array<double>",
+    )
+    for arrow in (False, True):
+        out = {r.vec_id: r for r in dedup.semantic_dedup(
+            df, k=2, min_cosine=0.97, arrow_path=arrow).collect()}
+        # NULL-embedding rows are excluded from the output entirely
+        assert 4 not in out and set(out) == {1, 2, 3, 6, 7}
+        # the zero vector scores 0.0 against everything (never NaN, so
+        # it can't win argmax or cross the pair threshold) and is kept
+        assert out[3].keep and out[3].centroid_sim == 0.0
+        # the near-dup pair still loses exactly one member
+        assert [out[1].keep, out[2].keep].count(False) == 1
