@@ -75,6 +75,7 @@ def _doc_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.9) -> D
     from entity_linking_spark.functions.vectors import cosine_udf
     from entity_linking_spark.operators import blocking, cluster, extract
 
+    Q._release_live_caches()  # drop the previous query's pinned caches
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("string").alias("url"), "text"
     )
@@ -82,10 +83,13 @@ def _doc_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.9) -> D
     # embedding join): persist so the fused Python pass runs once, not 3x
     # (the pipeline's checkpointed stages play this role at full scale)
     feats = extract.tokenize_and_featurize(docs).persist()
+    Q._LIVE_CACHES.append(feats)
     keys = blocking.blocking_keys(
         feats, candidates=None, use_host=False, use_entity=False, use_minhash=True
     )
-    pairs = blocking.candidate_pairs(keys, max_block_size=64)
+    pairs = blocking.candidate_pairs(
+        keys, max_block_size=64, cache_registry=Q._LIVE_CACHES
+    )
     emb = feats.select("url", "vec")
     ea = emb.select(F.col("url").alias("url_a"), F.col("vec").alias("vec_a"))
     eb = emb.select(F.col("url").alias("url_b"), F.col("vec").alias("vec_b"))
@@ -129,6 +133,7 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_linking_spark.operators import ann
 
+    Q._release_live_caches()  # drop the previous query's pinned caches
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -155,6 +160,7 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_linking_spark.operators import ann
 
+    Q._release_live_caches()  # drop the previous query's pinned caches
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -284,19 +290,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed operator queries first (plans/queries.py + the
     flagship, rolling-fingerprint, and simhash), then the three
     rows-only custom vectorized operators."""
+    def _with_release(fn):
+        # same cache-release contract as the decorated plans/queries.py
+        # entries: entering a new query drops the previous query's pins
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            Q._release_live_caches()
+            return fn(spark, sf_dir)
+
+        return wrapped
+
     out = Q.all_queries()
     out["minhash_near_dup_clusters"] = _doc_clusters
-    out["rolling_fingerprint"] = _rolling_fingerprint
+    out["rolling_fingerprint"] = _with_release(_rolling_fingerprint)
     # oracle-backed since round 3: the DuckDB twin replays crc32 with a
     # table-driven fold and reproduces the simhash bit votes exactly
-    out["dedup_simhash_pairs"] = _dedup_simhash
+    out["dedup_simhash_pairs"] = _with_release(_dedup_simhash)
     # non-SQL-expressible: rows-only checks (custom vectorized operators,
     # each pytest-verified; kept LAST so the oracle-gated window is full).
     # Round 5: the two ANN entries merged into one slot (method-tagged
     # union) to make room for the WARC container roundtrip.
     out["ann_lsh_ivf_topk"] = _ann_lsh_ivf
-    out["multimodal_decode_features"] = _multimodal_features
-    out["warc_roundtrip"] = _warc_roundtrip
+    out["multimodal_decode_features"] = _with_release(_multimodal_features)
+    out["warc_roundtrip"] = _with_release(_warc_roundtrip)
     return out
 
 

@@ -623,6 +623,7 @@ def candidate_pairs(
     cache_keys: bool = True,
     overflow: str = "drop",
     split_max: int = 4096,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Within-block pair generation with stop-key removal.
 
@@ -695,6 +696,8 @@ def candidate_pairs(
         from pyspark import StorageLevel
 
         hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
+            cache_registry.append(hashed)
     over = (
         hashed.groupBy("key")
         .agg(F.count("*").alias("block_size"))

@@ -174,6 +174,7 @@ def minhash_near_dup_pairs(
     max_block_size: int = 64,
     n_bands: int | None = None,
     verify: str = "est",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup: band-join candidates, then verify.
 
@@ -200,7 +201,9 @@ def minhash_near_dup_pairs(
         "url",
         F.concat_ws(":", F.lit("mh"), "band_idx", "band_hash").alias("key"),
     )
-    pairs = blocking.candidate_pairs(keys, max_block_size=max_block_size)
+    pairs = blocking.candidate_pairs(
+        keys, max_block_size=max_block_size, cache_registry=cache_registry
+    )
     if verify == "exact":
         # shingles are hashed to int64 (JVM xxhash64) BEFORE the pair
         # join: the set semantics — and hence the exact Jaccard value —

@@ -114,6 +114,30 @@ def _map_to_vocab(pairs: DataFrame, vocab: DataFrame) -> DataFrame:
     )
 
 
+def _bounded_topk(df: DataFrame, k: int, order_cols: list, n_buckets: int = 32) -> DataFrame:
+    """Global deterministic top-k with a BOUNDED driver merge: a
+    per-bucket row_number prefilter (xxhash64 of the full ordering key,
+    so bucketing is deterministic) keeps at most n_buckets * k rows
+    before the final TakeOrderedAndProject — driver peak is O(n_buckets
+    * k) regardless of how many input partitions the aggregate produced
+    (a thousand-partition corpus would otherwise hand the driver
+    partitions * k rows during the merge). Any global top-k row is by
+    definition in its bucket's top-k, so the prefilter never changes
+    the result."""
+    from pyspark.sql.window import Window
+
+    bucket = F.pmod(F.xxhash64(*[c for _, c in order_cols]), F.lit(n_buckets))
+    order = [c.desc() if d == "desc" else c.asc() for d, c in order_cols]
+    w = Window.partitionBy(bucket).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy(*order)
+        .limit(k)
+    )
+
+
 def train_bigram_lm(
     docs: DataFrame,
     text_col: str = "text",
@@ -121,13 +145,33 @@ def train_bigram_lm(
     bigram_size: int = 500_000,
     k: float = 1.0,
     lam: float = 0.75,
+    materialize: bool = True,
 ) -> NgramLM:
     """Train the pruned interpolated bigram LM on ``docs``.
 
-    Two corpus passes (raw counts -> vocab; mapped counts), both
-    map-side-combined hash aggregates; top-k selections are
-    TakeOrderedAndProject (bounded driver results by construction).
-    Deterministic: ties at both caps break on the token strings.
+    ONE corpus pass: the raw (prev, cur) pair counts are aggregated
+    once (map-side-combined hash aggregate, so the shuffle carries the
+    distinct-bigram vocabulary, not the corpus), and everything else —
+    raw unigram counts (every token occurs exactly once as ``cur``, so
+    c1_raw(w) = sum over prev of the pair counts), the vocabulary
+    top-k, the UNK-folded unigram/bigram tables — derives from that
+    bounded table without touching the corpus again. (The previous
+    formulation re-exploded the corpus THREE times: vocab pass, mapped
+    unigram pass, mapped bigram pass.) The raw pair table is persisted
+    across its two consumers and released before returning.
+
+    Top-k selections go through a bucketed per-partition prefilter
+    (``_bounded_topk``) so the driver-side merge stays O(buckets * k)
+    at any partition count. Deterministic: ties at both caps break on
+    the token strings, as before.
+
+    ``materialize`` (default): the finished model tables are collected
+    (bounded by vocab_size/bigram_size rows BY CONSTRUCTION) and
+    rebuilt as local DataFrames, so every downstream broadcast/score
+    plan embeds data, not the training lineage — otherwise each action
+    over a scoring plan (broadcast builds, range-partition sampling,
+    persists) silently re-runs training subtrees, and the vocab pass
+    alone was being recomputed ~5x per scoring query.
 
     Documents whose ``text_col`` is NULL are skipped. A literal
     ``<unk>`` corpus token is folded into the UNK class like any OOV
@@ -138,34 +182,102 @@ def train_bigram_lm(
         raise ValueError("vocab_size must be >= 1 and bigram_size >= 0")
     if not 0.0 < k or not 0.0 <= lam <= 1.0:
         raise ValueError("k must be > 0 and lam in [0, 1]")
+    from pyspark import StorageLevel
+
     pairs = (
         docs.where(F.col(text_col).isNotNull())
         .select(F.explode(_pair_col(text_col)).alias("pc"))
         .select(F.col("pc.cur").alias("cur"), F.col("pc.prev").alias("prev"))
     )
-    vocab = (
-        pairs.where(F.col("cur") != UNK)
-        .groupBy(F.col("cur").alias("token"))
-        .agg(F.count("*").alias("c"))
-        .orderBy(F.desc("c"), "token")
-        .limit(vocab_size)
-        .select("token")
+    # the ONE corpus pass; consumed by unigram derivation AND the mapped
+    # bigram table, so pin it (narrow rows, bounded by distinct pairs;
+    # MEMORY_AND_DISK spills at open-web vocabulary scale)
+    bg_raw = (
+        pairs.groupBy("prev", "cur")
+        .agg(F.count("*").alias("_c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pm = _map_to_vocab(pairs, vocab)
-    unigrams = pm.groupBy(F.col("cur_m").alias("token")).agg(
-        F.count("*").alias("c1")
+    uni_raw = bg_raw.groupBy(F.col("cur").alias("token")).agg(
+        F.sum("_c").alias("c")
     )
-    bigrams = (
-        pm.where(F.col("prev_m").isNotNull())
-        .groupBy(F.col("prev_m").alias("prev"), F.col("cur_m").alias("cur"))
-        .agg(F.count("*").alias("c2"))
-        .orderBy(F.desc("c2"), "prev", "cur")
-        .limit(bigram_size)
+    vocab = _bounded_topk(
+        uni_raw.where(F.col("token") != UNK),
+        vocab_size,
+        [("desc", F.col("c")), ("asc", F.col("token"))],
+    ).select("token")
+    spark = docs.sparkSession
+    vocab_rows: list | None = None
+    if materialize:
+        # collect the vocabulary FIRST (bounded by vocab_size) and build
+        # the mapped tables against the LOCAL copy: otherwise every
+        # broadcast build below re-runs the vocab top-k subtree — with a
+        # local build side, the unigram and bigram jobs each read only
+        # the cached pair table (one job apiece, no recursive lineage)
+        vocab_rows = vocab.collect()
+        vocab = spark.createDataFrame(vocab_rows, schema="token string")
+    vb = F.broadcast(vocab)
+    # UNK-fold the bounded tables instead of the corpus: identical
+    # counts (the fold is a sum over the same occurrences), no second
+    # corpus explode
+    unigrams = (
+        uni_raw.join(
+            vb.select(F.col("token"), F.lit(True).alias("_in")), "token", "left"
+        )
+        .select(
+            F.when(F.col("_in").isNotNull(), F.col("token"))
+            .otherwise(F.lit(UNK))
+            .alias("token"),
+            F.col("c"),
+        )
+        .groupBy("token")
+        .agg(F.sum("c").alias("c1"))
     )
-    totals = unigrams.agg(F.sum("c1").alias("n_tokens")).crossJoin(
-        vocab.agg((F.count("*") + F.lit(1)).cast("long").alias("v_eff"))
+    bigrams = _bounded_topk(
+        bg_raw.where(F.col("prev").isNotNull())
+        .join(
+            vb.select(F.col("token").alias("cur"), F.lit(True).alias("_cin")),
+            "cur",
+            "left",
+        )
+        .join(
+            vb.select(F.col("token").alias("prev"), F.lit(True).alias("_pin")),
+            "prev",
+            "left",
+        )
+        .select(
+            F.when(F.col("_pin").isNotNull(), F.col("prev"))
+            .otherwise(F.lit(UNK))
+            .alias("prev"),
+            F.when(F.col("_cin").isNotNull(), F.col("cur"))
+            .otherwise(F.lit(UNK))
+            .alias("cur"),
+            F.col("_c"),
+        )
+        .groupBy("prev", "cur")
+        .agg(F.sum("_c").alias("c2")),
+        bigram_size,
+        [("desc", F.col("c2")), ("asc", F.col("prev")), ("asc", F.col("cur"))],
     )
-    return NgramLM(vocab, unigrams, bigrams, totals, k, lam)
+    if not materialize:
+        totals = unigrams.agg(F.sum("c1").alias("n_tokens")).crossJoin(
+            vocab.agg((F.count("*") + F.lit(1)).cast("long").alias("v_eff"))
+        )
+        return NgramLM(vocab, unigrams, bigrams, totals, k, lam)
+    try:
+        uni_rows = unigrams.collect()
+        lu = spark.createDataFrame(uni_rows, schema="token string, c1 long")
+        lb = spark.createDataFrame(
+            bigrams.collect(), schema="prev string, cur string, c2 long"
+        )
+        # totals derive exactly from the collected tables — no extra job
+        # (n_tokens = sum of the unigram counts; both exact integers)
+        n_tokens = sum(r.c1 for r in uni_rows) if uni_rows else None
+        lt = spark.createDataFrame(
+            [(n_tokens, len(vocab_rows) + 1)], schema="n_tokens long, v_eff long"
+        )
+    finally:
+        bg_raw.unpersist(False)
+    return NgramLM(vocab, lu, lb, lt, k, lam)
 
 
 def perplexity(
@@ -237,6 +349,7 @@ def perplexity_buckets(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_partitions: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """(id, n_toks, ppl, bucket): CCNet's actual gate shape — rank every
     document by perplexity and split the corpus into 'head' (lowest-ppl
@@ -253,7 +366,16 @@ def perplexity_buckets(
     row per partition to the driver, broadcast the prefix offsets, and
     add each partition's local row_number — every partition ranks
     independently, nothing wide ever reaches one task, and document
-    text never enters the exchange."""
+    text never enters the exchange.
+
+    The scored projection is persisted BEFORE the range partitioning:
+    the range partitioner's sampling pass would otherwise re-run the
+    whole scoring plan (explode + broadcast probes over the corpus)
+    once more per action — with the cache, scoring executes exactly
+    once per call. ``cache_registry``: when given, both pinned
+    projections are appended so the caller can unpersist after its
+    action (otherwise release is left to the ContextCleaner, as
+    before)."""
     if not (0.0 <= head_frac and 0.0 <= middle_frac
             and head_frac + middle_frac <= 1.0):
         raise ValueError(
@@ -262,12 +384,16 @@ def perplexity_buckets(
         )
     from pyspark.sql.window import Window
 
-    scored = perplexity(docs, lm, text_col, id_col)
+    scored = perplexity(docs, lm, text_col, id_col).persist()
+    if cache_registry is not None:
+        cache_registry.append(scored)
     if n_partitions is not None:
         narrow = scored.repartitionByRange(n_partitions, "ppl", id_col)
     else:
         narrow = scored.repartitionByRange("ppl", id_col)
     narrow = narrow.withColumn("_pid", F.spark_partition_id()).persist()
+    if cache_registry is not None:
+        cache_registry.append(narrow)
     # driver-bounded: ONE row per partition (the prefix-sum counts)
     counts = {
         r._pid: r.c

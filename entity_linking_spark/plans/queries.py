@@ -32,12 +32,58 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Caches pinned by the CURRENT query (operators append via their
+# cache_registry parameter, query fns append directly). Released when
+# the NEXT query starts building: a persist can only be dropped after
+# its query's action has run, and the query functions never see the
+# action (the caller counts/writes the returned frame) — so the
+# earliest safe release point is the next query invocation. Without
+# this, a bench/gate session accumulates every query's MEMORY_AND_DISK
+# pins (the mention-detection token table, the perplexity projections,
+# the flagship features) until driver GC + ContextCleaner catch up,
+# and the measured effect on the queries that follow the heavy ones is
+# multi-second (executor storage pressure + JVM GC).
+_LIVE_CACHES: list = []
+
+
+def _release_live_caches() -> None:
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist(False)
+        except Exception:
+            pass
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a scan to the session parallelism ONLY when it
+    arrives in fewer splits (a small parquet input is one ~128 MB split
+    — every expression downstream would run on one core; measured: the
+    URL-canonicalization regexes burned 8.8 s of single-task CPU on a
+    0.6 MB corpus). At real corpus scale the scan already yields more
+    splits than cores and this is a no-op — the same guarded pattern as
+    pipeline._extract. Only ever applied to per-ROW computations
+    upstream of aggregations, so results are partitioning-independent
+    (doc-level float sums stay within their row)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        _QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _release_live_caches()
+            return fn(spark, sf_dir)
+
+        _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 
@@ -231,6 +277,7 @@ def semantic_dedup_query(spark, sf_dir):
     out = semantic_dedup(
         e, id_col="vec_id", vec_col="embedding",
         k=8, min_cosine=0.38, max_cluster_size=4096,
+        cache_registry=_LIVE_CACHES,
     )
     return out.select(
         "vec_id", "cluster_id", "centroid_sim",
@@ -1230,7 +1277,14 @@ def url_canonicalize_dedup(spark, sf_dir):
         F.lit("?b=2&utm_source=feed&a="), s(did % 2),
         F.when(did % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
     )
-    d = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    # spread before the regex-dense canonicalization: the corpus scan is
+    # a single split at bench scale, and the whole regex chain (6
+    # regexp ops + array filter/sort per row) otherwise runs on ONE core
+    # (measured 8.8 s single-task CPU); no-op once the scan has >= cores
+    # splits
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id")).select(
+        "doc_id", url.alias("url")
+    )
     return (
         d.select("doc_id", canonical_url("url").alias("canonical_url"))
         .groupBy("canonical_url")
@@ -1418,11 +1472,11 @@ def lm_perplexity(spark, sf_dir):
         train_bigram_lm,
     )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     lm = train_bigram_lm(d, vocab_size=512, bigram_size=2048, k=1.0, lam=0.75)
-    return perplexity_buckets(d, lm, head_frac=0.25, middle_frac=0.5).orderBy(
-        "doc_id"
-    )
+    return perplexity_buckets(
+        d, lm, head_frac=0.25, middle_frac=0.5, cache_registry=_LIVE_CACHES
+    ).orderBy("doc_id")
 
 
 # NB-quality-classifier oracle: replays operators/classify.py end to
@@ -2214,6 +2268,7 @@ def dedup_minhash_pairs(spark, sf_dir):
             min_jaccard=0.7,
             n_bands=32,
             verify="exact",
+            cache_registry=_LIVE_CACHES,
         )
         .select(
             F.col("url_a"), F.col("url_b"), F.col("jaccard")
@@ -2464,4 +2519,9 @@ def mention_detect_greedy(spark, sf_dir):
         [(a, f"e{i}") for i, a in enumerate(_MENTION_ALIASES)],
         "alias string, subject_id string",
     )
-    return detect_mentions_join(docs, aliases).orderBy("url", "start_pos")
+    # cache_registry: the corpus-token and alias persists are released
+    # when the NEXT query starts (they can't be dropped before this
+    # query's action, which the caller owns)
+    return detect_mentions_join(
+        docs, aliases, cache_registry=_LIVE_CACHES
+    ).orderBy("url", "start_pos")
