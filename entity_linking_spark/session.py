@@ -43,6 +43,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Spark 4 routes lower()/upper()/initcap() through ICU case
+        # mappings by default; the FIRST such call per executor JVM
+        # triggers CollationAwareUTF8String's class init, which
+        # single-threadedly builds ICU case tables while every other
+        # task blocks on the class-init monitor (measured: a 5k-row
+        # lower() stage stalled 24 s wall at 0.3 s CPU — thread dump
+        # showed 31 executor threads 'waiting on the Class
+        # initialization monitor'). The legacy JVM mappings are
+        # byte-identical on ASCII and differ from ICU only in
+        # locale-edge case folds this pipeline never depends on (text
+        # normalization is the frozen Python tokenizer, not JVM lower).
+        .config("spark.sql.icu.caseMappings.enabled", "false")
         # local mode: one JVM hosts all executor threads — heap must scale
         # with concurrent tasks or GC dominates (measured: 4x anti-scaling
         # at local[32] with an 8g heap). On a real cluster this maps to
