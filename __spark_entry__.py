@@ -76,9 +76,11 @@ def _doc_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.9) -> D
     from entity_linking_spark.operators import blocking, cluster, extract
 
     Q._release_live_caches()  # drop the previous query's pinned caches
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").cast("string").alias("url"), "text"
-    )
+    # spread the single-split bench scan before the fused Python pass
+    # (pipeline._extract's guarded pattern; no-op at real corpus scale)
+    docs = Q._spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select(F.col("doc_id").cast("string").alias("url"), "text")
     # feats feeds three consumers (blocking keys + both sides of the
     # embedding join): persist so the fused Python pass runs once, not 3x
     # (the pipeline's checkpointed stages play this role at full scale)
@@ -118,7 +120,7 @@ def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_linking_spark.functions.normalize import tokenize_udf
 
     return (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        Q._spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
         .select(F.col("doc_id").cast("string").alias("url"), "text")
         .withColumn("tokens", tokenize_udf(F.col("text")))
     )
@@ -280,7 +282,7 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_linking_spark.functions.text import rolling_hash_udf
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = Q._spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return d.select("doc_id", rolling_hash_udf(F.col("text")).alias("rh")).orderBy(
         "doc_id"
     )

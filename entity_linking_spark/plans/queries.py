@@ -1081,7 +1081,7 @@ def decontaminate_ngram(spark, sf_dir):
     benchmark hash set — never shuffled."""
     from entity_linking_spark.operators.quality import decontaminate
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     bench = d.where(F.col("doc_id") % 41 == 0).select("text")
     return (
         decontaminate(d, bench, window=_DECON_WINDOW)
@@ -1100,7 +1100,7 @@ def gopher_repetition_signals(spark, sf_dir):
     emits the derived fractions (single divisions, engine-neutral)."""
     from entity_linking_spark.operators.quality import repetition_signals
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return (
         repetition_signals(d, top_ns=(2, 3), dup_n=5)
         .select(
@@ -1190,7 +1190,7 @@ def gopher_quality_signals_gate(spark, sf_dir):
     def plant(cond, s):
         return F.when(cond, F.lit("\n" + s)).otherwise(F.lit(""))
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -1377,7 +1377,7 @@ def c4_line_clean_gate(spark, sf_dir):
         plant(did % 17 == 0, "Lorem Ipsum dolor sit amet boilerplate."),
         plant(did % 23 == 0, "function() { return 1; }"),
     )
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.array_join(lines, "\n").alias("text")
     )
     return (
@@ -1546,7 +1546,7 @@ def nb_quality_classifier(spark, sf_dir):
         train_nb_quality,
     )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     labeled = d.withColumn("label", F.col("doc_id") % 3 == 0)
     model = train_nb_quality(labeled, vocab_size=256, k=1.0)
     return nb_log_odds(d, model).orderBy("doc_id")
@@ -1904,7 +1904,7 @@ def duplicated_span_removal(spark, sf_dir):
     first principles."""
     from entity_linking_spark.operators import dedup
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     spans = dedup.duplicated_spans(
         d,
         id_col="doc_id",
@@ -2258,7 +2258,7 @@ def dedup_minhash_pairs(spark, sf_dir):
     corpus' planted near-dups sit at j~0.99)."""
     from entity_linking_spark.operators import dedup
 
-    base = _t(spark, sf_dir, "documents").select(
+    base = _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("tokens")
     )
     return (
