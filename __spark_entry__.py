@@ -136,7 +136,7 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_linking_spark.operators import ann
 
     Q._release_live_caches()  # drop the previous query's pinned caches
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = Q._spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -163,7 +163,7 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_linking_spark.operators import ann
 
     Q._release_live_caches()  # drop the previous query's pinned caches
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = Q._spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

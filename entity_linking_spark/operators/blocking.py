@@ -483,6 +483,7 @@ def candidate_entities(
     max_ambiguity: int = 16,
     pre_normalized: bool = False,
     broadcast_hint: bool | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """J1: equi hash join mention -> candidate subject_ids, with per-alias
     ambiguity (how many entities share the alias — the disambiguation
@@ -522,6 +523,8 @@ def candidate_entities(
         # references are GC'd (ContextCleaner) — single-shot pipelines
         # call this once, so nothing accumulates.
         alias_norm = alias_norm.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
+            cache_registry.append(alias_norm)
     ambiguity = alias_norm.groupBy("alias").agg(
         F.countDistinct("subject_id").alias("n_ids")
     )

@@ -50,6 +50,20 @@ def run_pipeline(
     with the broadcast trie; larger KBs take the join-based
     ``detect_mentions_join`` path — identical output, no driver collect,
     so a beyond-broadcast KB no longer kills the job at s2."""
+    # per-stage cache registry: every stage materializes to its snapshot,
+    # so any DataFrame an operator pinned while BUILDING a stage is dead
+    # weight the moment that stage's write commits — downstream stages
+    # read the snapshot files, not the lineage. Without the release the
+    # pins (e.g. candidate_entities' normalized alias table) stay in
+    # executor storage for the rest of the session.
+    stage_caches: list = []
+
+    def _release_stage_caches() -> None:
+        while stage_caches:
+            try:
+                stage_caches.pop().unpersist(False)
+            except Exception:  # noqa: BLE001 — release is best-effort
+                pass
 
     def _extract() -> DataFrame:
         # spread the corpus across all cores before the Python stage —
@@ -123,15 +137,21 @@ def run_pipeline(
 
     def _mentions() -> DataFrame:
         if alias_list is None:  # beyond-broadcast KB: distributed join path
-            return blocking.detect_mentions_join(docs, aliases, tokens_col="tokens")
+            return blocking.detect_mentions_join(
+                docs, aliases, tokens_col="tokens", cache_registry=stage_caches
+            )
         return blocking.detect_mentions(docs, alias_list, tokens_col="tokens")
 
     mentions = io.run_stage(spark, workdir, "s2_mentions", _mentions, force)
+    _release_stage_caches()
 
     def _candidates() -> DataFrame:
-        return blocking.candidate_entities(mentions, aliases)
+        return blocking.candidate_entities(
+            mentions, aliases, cache_registry=stage_caches
+        )
 
     candidates = io.run_stage(spark, workdir, "s3_candidates", _candidates, force)
+    _release_stage_caches()
 
     def _pairs() -> DataFrame:
         keys = blocking.blocking_keys(docs, candidates)
@@ -166,7 +186,9 @@ def run_pipeline(
         edges = scoring.match_edges(scores, threshold)
         return cluster.connected_components(edges, docs.select("url"))
 
-    return io.run_stage(spark, workdir, "s6_clusters", _clusters, force)
+    out = io.run_stage(spark, workdir, "s6_clusters", _clusters, force)
+    _release_stage_caches()
+    return out
 
 
 def main() -> None:

@@ -273,7 +273,9 @@ def semantic_dedup_query(spark, sf_dir):
     pair threshold, dominance removal)."""
     from entity_linking_spark.operators.dedup import semantic_dedup
 
-    e = _t(spark, sf_dir, "embeddings")
+    # spread the single-split embeddings scan: the k-way literal cosine
+    # folds and the within-cluster pair verify otherwise run on one core
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     out = semantic_dedup(
         e, id_col="vec_id", vec_col="embedding",
         k=8, min_cosine=0.38, max_cluster_size=4096,
@@ -1571,7 +1573,7 @@ def ann_cosine_topk(spark, sf_dir):
     between the cosine-bearing gate rows."""
     from entity_linking_spark.functions.vectors import cosine_col
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     cand = e.where(F.col("vec_id") != 0)
     return (
