@@ -676,6 +676,11 @@ def semantic_dedup(
         .limit(k)
         .collect()
     )
+    # output id field keeps the INPUT id dtype on every path (empty /
+    # Arrow / gate) — hardcoding long made the output dtype depend on
+    # which path ran for e.g. an int32 id, breaking the documented
+    # path-identical contract and downstream join key types
+    _id_dt = embeddings.schema[id_col].dataType.simpleString()
     if not exemplars:
         # empty corpus: an empty, correctly-typed result — not a
         # zero-centroid argmax crash (an upstream gate emptying the
@@ -683,7 +688,7 @@ def semantic_dedup(
         return embeddings.sparkSession.createDataFrame(
             [],
             schema=(
-                f"{id_col} long, cluster_id long, "
+                f"{id_col} {_id_dt}, cluster_id long, "
                 "centroid_sim double, keep boolean"
             ),
         )
@@ -794,9 +799,15 @@ def semantic_dedup(
             out = pd.DataFrame({
                 id_col: ids,
                 "cluster_id": pdf["cid"].to_numpy(),
-                # HALF_UP to match Spark's round() (np.round is
+                # HALF_UP-style to match Spark's round() (np.round is
                 # half-to-even — would diverge from the literal path
-                # at exact .00005 boundaries)
+                # at exact .00005 boundaries). Caveat: Spark rounds via
+                # BigDecimal's shortest-DECIMAL representation while
+                # this rounds the binary double, so a double printing
+                # as x.xxxx5 but sitting just below it can differ in
+                # the 4th decimal at representational knife edges —
+                # display-only (keep decisions use unrounded sims) and
+                # pinned identical on the fixture corpus
                 "centroid_sim": np.sign(sims)
                 * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4,
                 "keep": np.ones(len(pdf), dtype=bool),
@@ -821,7 +832,7 @@ def semantic_dedup(
         return asg.groupBy("cid").applyInPandas(
             _cluster_dedup,
             schema=(
-                f"{id_col} long, cluster_id long, "
+                f"{id_col} {_id_dt}, cluster_id long, "
                 "centroid_sim double, keep boolean"
             ),
         )
