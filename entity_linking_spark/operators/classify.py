@@ -78,15 +78,32 @@ def train_nb_quality(
     text_col: str = "text",
     vocab_size: int = 50_000,
     k: float = 1.0,
+    materialize: bool | str = "auto",
 ) -> NBQualityModel:
     """Train the pruned NB quality model on labeled ``docs``.
 
     ``label_col`` must be boolean-coercible (true/1 = the curated
-    "high quality" class, the GPT-3 positives). Two corpus passes
-    (raw counts -> vocab; per-class mapped counts), both
-    map-side-combined hash aggregates; the top-k vocab selection is
-    TakeOrderedAndProject (bounded by construction). Deterministic:
-    vocab ties break on the token string.
+    "high quality" class, the GPT-3 positives). ONE token-explode
+    corpus pass: raw per-(label, token) counts are aggregated once
+    (map-side-combined, so the shuffle carries the per-class
+    vocabulary, not the corpus) and both the vocab top-k and the
+    UNK-folded likelihood table derive from that bounded table; the
+    per-document class counts are one scan-only aggregate (labels
+    column, no explode). Deterministic: vocab ties break on the token
+    string.
+
+    ``materialize``: the finished model tables — bounded at vocab_size
+    / vocab_size+1 / 1 rows BY CONSTRUCTION — are collected and rebuilt
+    as local DataFrames, so scoring plans embed data instead of
+    training lineage (the lazy form re-runs the vocab pass once per
+    broadcast build: ~4 redundant corpus passes per scoring query, the
+    pathology train_bigram_lm had). "auto" (default) gates on corpus
+    size from parquet footer metadata (no job): small corpora stay
+    LAZY, because there the redundant in-job passes are cheaper than
+    the extra collect jobs materialization costs (measured 1.3 s vs
+    2.2 s at 5k docs), while at >= 250k rows the redundant corpus
+    passes dominate and the bounded collects win; unknown-size inputs
+    (in-memory fixtures) count as small.
 
     Documents with NULL ``text_col`` or NULL ``label_col`` are
     skipped. A literal ``<unk>`` corpus token folds into the UNK class
@@ -100,35 +117,66 @@ def train_nb_quality(
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
     if not k > 0.0:
         raise ValueError(f"k must be > 0, got {k!r}")
+    from pyspark import StorageLevel
+
+    if materialize == "auto":
+        from entity_linking_spark.operators.blocking import footer_row_estimate
+
+        est = footer_row_estimate(docs)
+        materialize = est is not None and est >= 250_000
+
     base = docs.where(
         F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(
         F.col(label_col).cast("boolean").alias("lab"),
         F.explode(_tok_col(text_col)).alias("tok"),
     )
+    # the ONE corpus explode; consumed by the vocab top-k AND the
+    # folded likelihood table. Persisted only on the materialize path
+    # (its consumers are separate collect jobs there, and the finally
+    # below releases it); on the lazy path the raw aggregate appears
+    # several times inside ONE scoring plan, where ReuseExchange
+    # already computes it once — a persist would leak past the query.
+    raw = base.groupBy("lab", "tok").agg(F.count("*").alias("_c"))
+    if materialize:
+        raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
     vocab = (
-        base.where(F.col("tok") != UNK)
+        raw.where(F.col("tok") != UNK)
         .groupBy(F.col("tok").alias("token"))
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("_c").alias("c"))
         .orderBy(F.desc("c"), "token")
         .limit(vocab_size)
         .select("token")
     )
-    mapped = base.join(
-        F.broadcast(vocab).select(
-            F.col("token").alias("tok"), F.lit(True).alias("_in")
-        ),
-        "tok",
-        "left",
-    ).select(
-        "lab",
-        F.when(F.col("_in").isNotNull(), F.col("tok"))
-        .otherwise(F.lit(UNK))
-        .alias("tok_m"),
-    )
-    likelihoods = mapped.groupBy(F.col("tok_m").alias("token")).agg(
-        F.sum(F.col("lab").cast("long")).alias("c_pos"),
-        F.sum((~F.col("lab")).cast("long")).alias("c_neg"),
+    spark = docs.sparkSession
+    vocab_rows: list | None = None
+    if materialize:
+        vocab_rows = vocab.collect()
+        vocab = spark.createDataFrame(vocab_rows, schema="token string")
+    likelihoods = (
+        raw.join(
+            F.broadcast(vocab).select(
+                F.col("token").alias("tok"), F.lit(True).alias("_in")
+            ),
+            "tok",
+            "left",
+        )
+        .select(
+            "lab",
+            F.when(F.col("_in").isNotNull(), F.col("tok"))
+            .otherwise(F.lit(UNK))
+            .alias("tok_m"),
+            "_c",
+        )
+        .groupBy(F.col("tok_m").alias("token"))
+        .agg(
+            F.sum(F.when(F.col("lab"), F.col("_c")).otherwise(F.lit(0))).alias(
+                "c_pos"
+            ),
+            F.sum(F.when(~F.col("lab"), F.col("_c")).otherwise(F.lit(0))).alias(
+                "c_neg"
+            ),
+        )
     )
     doc_counts = (
         docs.where(F.col(text_col).isNotNull() & F.col(label_col).isNotNull())
@@ -139,16 +187,38 @@ def train_nb_quality(
             ),
         )
     )
-    totals = (
-        likelihoods.agg(
-            F.sum("c_pos").alias("n_pos"), F.sum("c_neg").alias("n_neg")
+    if not materialize:
+        totals = (
+            likelihoods.agg(
+                F.sum("c_pos").alias("n_pos"), F.sum("c_neg").alias("n_neg")
+            )
+            .crossJoin(doc_counts)
+            .crossJoin(
+                vocab.agg((F.count("*") + F.lit(1)).cast("long").alias("v_eff"))
+            )
         )
-        .crossJoin(doc_counts)
-        .crossJoin(
-            vocab.agg((F.count("*") + F.lit(1)).cast("long").alias("v_eff"))
+        return NBQualityModel(vocab, likelihoods, totals, k)
+    try:
+        lik_rows = likelihoods.collect()
+        ll = spark.createDataFrame(
+            lik_rows, schema="token string, c_pos long, c_neg long"
         )
-    )
-    return NBQualityModel(vocab, likelihoods, totals, k)
+        dc = doc_counts.collect()[0]
+        # totals derive exactly from the collected tables (all exact
+        # integers) — no crossJoin jobs
+        lt = spark.createDataFrame(
+            [(
+                sum(r.c_pos for r in lik_rows) if lik_rows else None,
+                sum(r.c_neg for r in lik_rows) if lik_rows else None,
+                dc["d_pos"],
+                dc["d_neg"],
+                len(vocab_rows) + 1,
+            )],
+            schema="n_pos long, n_neg long, d_pos long, d_neg long, v_eff long",
+        )
+    finally:
+        raw.unpersist(False)
+    return NBQualityModel(vocab, ll, lt, k)
 
 
 def nb_log_odds(

@@ -1548,7 +1548,12 @@ def nb_quality_classifier(spark, sf_dir):
         train_nb_quality,
     )
 
-    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    # NOT spread: the scoring plan embeds the (lazy) training subtrees,
+    # so a repartition here is paid once per subtree execution while the
+    # per-row explode is light — measured 1.31 s unspread vs 2.10 s
+    # spread at sf0.1; train_nb_quality's footer-gated materialization
+    # covers the large-corpus case instead
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     labeled = d.withColumn("label", F.col("doc_id") % 3 == 0)
     model = train_nb_quality(labeled, vocab_size=256, k=1.0)
     return nb_log_odds(d, model).orderBy("doc_id")
