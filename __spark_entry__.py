@@ -136,7 +136,11 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_linking_spark.operators import ann
 
     Q._release_live_caches()  # drop the previous query's pinned caches
-    emb = Q._spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    # NOT spread: lsh/ivf consume the embeddings subtree several times
+    # (corpus side, query side, bucket stats), so a repartition here is
+    # re-paid per consumption while the per-row hashing is light —
+    # measured 1.47 s plain vs 2.2 s spread (min of 3, alternating)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -163,7 +167,7 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_linking_spark.operators import ann
 
     Q._release_live_caches()  # drop the previous query's pinned caches
-    emb = Q._spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")  # see _ann_lsh
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
